@@ -1,0 +1,235 @@
+"""SciPy-compatible front door.
+
+Signatures are modeled on the reference's v3 generation (reference:
+v3/cpu/cg.py:7): ``cg(A, b, x=None, tol=1e-05, maxiter=None, M=None,
+callback=None, atol=None) -> (x, info)`` with ``info = {'time', 'nosl',
+'residual'[, 'khistory']}``; k-skip variants add ``k`` (reference:
+v3/cpu/kskipcg.py:8).  The backend-selection trees of the reference collapse
+into two knobs here: ``mesh`` (None → single device, a 1-D
+``jax.sharding.Mesh`` → distributed via ``shard_map``) and the operator
+container type.
+
+Unlike the reference, ``M`` (a preconditioner with a ``.solve(r)`` method or
+a callable) is honored by the methods that support it — the reference accepts
+``M`` but ignores it everywhere except the v1 pipeline family (reference:
+v3/cpu/cg.py:7 vs v1/threads/pipeline/pcg.py:29-45).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from krylov_tpu.context import Context
+from krylov_tpu.diagnostics import build_info, finish_banner, start_banner
+from krylov_tpu.sparse import as_operator
+
+
+def _get_kernel(method: str):
+    from krylov_tpu import solvers
+
+    table = {
+        "cg": solvers.cg_kernel,
+        "mrr": solvers.mrr_kernel,
+    }
+    try:
+        from krylov_tpu.solvers.kskip_cg import kskipcg_kernel
+
+        table["kskipcg"] = kskipcg_kernel
+    except ImportError:  # pragma: no cover - during staged bring-up
+        pass
+    try:
+        from krylov_tpu.solvers.kskip_mrr import kskipmrr_kernel
+
+        table["kskipmrr"] = kskipmrr_kernel
+    except ImportError:  # pragma: no cover
+        pass
+    try:
+        from krylov_tpu.solvers.adaptive_kskip_mrr import adaptivekskipmrr_kernel
+
+        table["adaptivekskipmrr"] = adaptivekskipmrr_kernel
+    except ImportError:  # pragma: no cover
+        pass
+    try:
+        from krylov_tpu.solvers.pipelined import (
+            chronopoulos_gear_kernel,
+            gropp_kernel,
+            pcg_kernel,
+            pipelined_cg_kernel,
+        )
+
+        table["pcg"] = pcg_kernel
+        table["chronopoulos_gear"] = chronopoulos_gear_kernel
+        table["gropp"] = gropp_kernel
+        table["pipelined_cg"] = pipelined_cg_kernel
+    except ImportError:  # pragma: no cover
+        pass
+    if method not in table:
+        raise ValueError(f"unknown method {method!r}; available: {sorted(table)}")
+    return table[method]
+
+
+_METHOD_NAMES = {
+    "cg": "CG",
+    "mrr": "MrR",
+    "kskipcg": "k-skip CG",
+    "kskipmrr": "k-skip MrR",
+    "adaptivekskipmrr": "Adaptive k-skip MrR",
+    "pcg": "Preconditioned CG",
+    "chronopoulos_gear": "chronopoulos gear",
+    "gropp": "gropp",
+    "pipelined_cg": "pipeline",
+}
+
+_KSKIP_METHODS = {"kskipcg", "kskipmrr", "adaptivekskipmrr"}
+_PRECONDITIONED_METHODS = {"pcg", "chronopoulos_gear", "gropp", "pipelined_cg"}
+
+
+@partial(jax.jit, static_argnames=("method", "maxiter", "k", "ctx"))
+def _run_kernel(A, b, x0, tol, method, maxiter, k, ctx, M=None):
+    kernel = _get_kernel(method)
+    kwargs = dict(tol=tol, maxiter=maxiter, ctx=ctx)
+    if method in _KSKIP_METHODS:
+        kwargs["k"] = k
+    if method in _PRECONDITIONED_METHODS:
+        kwargs["M"] = M
+    return kernel(A, b, x0, **kwargs)
+
+
+def solve(
+    A,
+    b,
+    method: str = "cg",
+    x0=None,
+    tol: float = 1e-5,
+    maxiter: Optional[int] = None,
+    k: int = 0,
+    M=None,
+    mesh=None,
+    scalar_dtype=None,
+    verbose: bool = False,
+):
+    """Solve the SPD system ``A x = b``; returns ``(x, info)``.
+
+    Args:
+      A: operator — a ``krylov_tpu.sparse`` container, scipy sparse matrix,
+        or dense array.
+      method: one of ``cg``, ``mrr``, ``kskipcg``, ``kskipmrr``,
+        ``adaptivekskipmrr``, ``pcg``, ``chronopoulos_gear``, ``gropp``,
+        ``pipelined_cg``.
+      mesh: optional 1-D ``jax.sharding.Mesh``; when given, the solve runs
+        row-partitioned under ``shard_map``.
+      scalar_dtype: dtype for inner products / scalar recurrences (e.g.
+        ``jnp.float64`` with float32 vectors on TPU).
+      verbose: print the reference-style banner (reference: v3/common.py:2-23).
+    """
+    in_dtype = getattr(A, "dtype", None)
+    if (
+        in_dtype is not None
+        and np.dtype(in_dtype) == np.float64
+        and not jax.config.jax_enable_x64
+    ):
+        import warnings
+
+        warnings.warn(
+            "float64 operands will be silently downcast to float32 because "
+            "jax_enable_x64 is off; enable it (jax.config.update("
+            "'jax_enable_x64', True)) for reference-equivalent float64 "
+            "numerics, or pass scalar_dtype=jnp.float64 for mixed precision",
+            stacklevel=2,
+        )
+    A = as_operator(A)
+    if np.asarray(b).ndim != 1 or A.shape[0] != A.shape[1] or A.shape[0] != np.asarray(b).shape[0]:
+        raise ValueError(
+            f"need a square system: A has shape {A.shape}, b has shape "
+            f"{np.asarray(b).shape}"
+        )
+    b = jnp.asarray(b, dtype=A.dtype)
+    n = b.shape[0]
+    if maxiter is None:
+        maxiter = n  # reference default (reference: v3/cpu/common.py:31-32)
+    x0 = (
+        jnp.zeros(n, dtype=A.dtype)
+        if x0 is None
+        else jnp.asarray(x0, dtype=A.dtype)
+    )
+
+    if verbose:
+        start_banner(
+            _METHOD_NAMES.get(method, method),
+            k if method in _KSKIP_METHODS else None,
+        )
+
+    t0 = time.perf_counter()
+    if mesh is None:
+        ctx = Context(axis=None, scalar_dtype=scalar_dtype)
+        result = _run_kernel(
+            A, b, x0, jnp.asarray(tol), method, maxiter, k, ctx, M
+        )
+    else:
+        from krylov_tpu.dist import solve_sharded
+
+        result = solve_sharded(
+            A,
+            b,
+            x0,
+            tol=tol,
+            method=method,
+            maxiter=maxiter,
+            k=k,
+            M=M,
+            mesh=mesh,
+            scalar_dtype=scalar_dtype,
+        )
+    result = jax.block_until_ready(result)
+    elapsed = time.perf_counter() - t0
+
+    info = build_info(result, elapsed)
+    if verbose:
+        finish_banner(
+            elapsed,
+            info["converged"],
+            info["iterations"],
+            info["residual"][-1],
+            info.get("final_k"),
+        )
+    return np.asarray(result.x), info
+
+
+def _scipy_style(method):
+    def f(
+        A,
+        b,
+        x=None,
+        tol=1e-05,
+        maxiter=None,
+        k=0,
+        M=None,
+        callback=None,
+        atol=None,
+        **kw,
+    ):
+        if callback is not None or atol is not None:
+            # Accepted-but-unused in the reference too (reference: v3/cpu/cg.py:7).
+            pass
+        return solve(A, b, method=method, x0=x, tol=tol, maxiter=maxiter, k=k, M=M, **kw)
+
+    f.__name__ = method
+    f.__doc__ = f"Reference-compatible wrapper for method={method!r}; see :func:`solve`."
+    return f
+
+
+cg = _scipy_style("cg")
+mrr = _scipy_style("mrr")
+kskipcg = _scipy_style("kskipcg")
+kskipmrr = _scipy_style("kskipmrr")
+adaptivekskipmrr = _scipy_style("adaptivekskipmrr")
+pcg = _scipy_style("pcg")
+chronopoulos_gear = _scipy_style("chronopoulos_gear")
+gropp = _scipy_style("gropp")
+pipelined_cg = _scipy_style("pipelined_cg")

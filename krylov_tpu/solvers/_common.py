@@ -1,0 +1,84 @@
+"""Shared machinery for the jitted solver kernels.
+
+Design notes (vs. the reference's host-side loops):
+
+The reference iterates in Python, checking ``residual[i] < tol`` on the host
+each iteration and ``break``-ing out (reference: v3/cpu/cg.py:19-24).  On TPU
+that would force a device→host sync per iteration, so every solver here is a
+single ``lax.while_loop`` whose predicate lives on device:
+
+- the carry holds the iterate state plus ``(i, index, converged)`` and
+  fixed-size residual / solution-update traces (``maxiter`` is static);
+- each body writes ``residual[index]``, evaluates convergence, computes the
+  next state unconditionally, and keeps the *old* state when converged (the
+  loop then exits at the next predicate check) — this reproduces the
+  reference's check-then-break ordering exactly, at the cost of one dead
+  update at convergence;
+- on divergence (loop exhausts ``maxiter``) the final residual is written
+  after the loop, matching the reference's ``while/else`` branch
+  (reference: v3/cpu/cg.py:37-40).
+
+The python-facing wrappers in :mod:`krylov_tpu.api` slice the traces to
+``index+1`` and assemble the reference-compatible info dict.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def tree_select(pred, on_true, on_false):
+    """Elementwise ``where`` over a pytree (predicate is a scalar bool)."""
+    return jax.tree.map(lambda a, b: jnp.where(pred, a, b), on_true, on_false)
+
+
+@dataclasses.dataclass(frozen=True)
+class SolveResult:
+    """Fixed-shape result of a jitted solver kernel.
+
+    ``residual_trace``/``nosl_trace``/``k_trace`` are full ``maxiter+1``-sized
+    buffers; entries beyond ``index`` are undefined.  ``iterations`` is the
+    reference's ``i`` (number of solution updates), ``index`` the number of
+    outer iterations (they differ for the k-skip family, reference:
+    v3/cpu/kskipcg.py:66-68).
+    """
+
+    x: jax.Array
+    residual_trace: jax.Array
+    nosl_trace: jax.Array
+    iterations: jax.Array  # i
+    index: jax.Array  # outer-iteration count
+    converged: jax.Array  # bool
+    k_trace: Optional[jax.Array] = None
+    final_k: Optional[jax.Array] = None
+
+
+jax.tree_util.register_dataclass(
+    SolveResult,
+    data_fields=[
+        "x",
+        "residual_trace",
+        "nosl_trace",
+        "iterations",
+        "index",
+        "converged",
+        "k_trace",
+        "final_k",
+    ],
+    meta_fields=[],
+)
+
+
+def scalar_dtype_of(ctx, b):
+    return ctx.scalar_dtype if ctx.scalar_dtype is not None else b.dtype
+
+
+def check_square(A, b):
+    n = b.shape[-1]
+    if A.shape[0] != A.shape[1] or A.shape[0] != n:
+        raise ValueError(f"system shape mismatch: A {A.shape}, b {b.shape}")
+    return n

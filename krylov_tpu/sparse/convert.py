@@ -1,0 +1,159 @@
+"""Conversions from host formats (scipy CSR/COO, dense) into TPU containers.
+
+The reference delegates format handling to scipy/CuPy CSR (reference:
+v2/gpu/common.py:95-105 uploads ``csr_matrix`` per device); here the
+conversion step is explicit preprocessing: analyze the sparsity pattern once
+on host, emit a static-shape TPU container.  A C++ fast path for very large
+matrices lives in ``native/`` (used automatically when built); this module is
+the always-available pure-python/numpy path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from krylov_tpu.sparse.formats import DenseMatrix, DiaMatrix, EllMatrix, Operator
+
+
+def _csr_parts(A):
+    csr = A.tocsr()
+    csr.sum_duplicates()
+    return csr
+
+
+def analyze(A) -> dict:
+    """Host-side pattern analysis used to pick a container format."""
+    csr = _csr_parts(A)
+    n, m = csr.shape
+    coo = csr.tocoo()
+    offs = np.unique(coo.col.astype(np.int64) - coo.row.astype(np.int64))
+    row_nnz = np.diff(csr.indptr)
+    return {
+        "shape": (n, m),
+        "nnz": int(csr.nnz),
+        "num_offsets": int(offs.size),
+        "offsets": offs,
+        "max_row_nnz": int(row_nnz.max(initial=0)),
+        "mean_row_nnz": float(row_nnz.mean()) if n else 0.0,
+    }
+
+
+def from_scipy(A, dtype=None, max_dia_offsets: int = 32) -> Operator:
+    """Pick the best container for a scipy sparse matrix.
+
+    Banded patterns (few distinct diagonals — the 1-D Poisson and 2-D
+    Laplacian benchmark families) go to :class:`DiaMatrix`; everything else
+    to :class:`EllMatrix`.
+    """
+    info = analyze(A)
+    n, m = info["shape"]
+    # DIA is only worthwhile when the diagonals are dense enough that the
+    # shifted-multiply work (num_offsets * N) stays close to nnz.
+    if info["num_offsets"] <= max_dia_offsets and info["num_offsets"] * n <= 8 * max(
+        info["nnz"], 1
+    ):
+        return to_dia(A, dtype=dtype)
+    return to_ell(A, dtype=dtype)
+
+
+def to_dia(A, dtype=None) -> DiaMatrix:
+    """Convert to row-indexed diagonal storage: data[d, i] = A[i, i+off_d]."""
+    csr = _csr_parts(A)
+    n, m = csr.shape
+    coo = csr.tocoo()
+    rows = coo.row.astype(np.int64)
+    cols = coo.col.astype(np.int64)
+    vals = coo.data
+    offs = np.unique(cols - rows)
+    dtype = dtype or vals.dtype
+    data = np.zeros((len(offs), n), dtype=dtype)
+    off_index = {int(o): d for d, o in enumerate(offs)}
+    d_idx = np.array([off_index[int(o)] for o in (cols - rows)], dtype=np.int64)
+    data[d_idx, rows] = vals
+    return DiaMatrix(
+        data=jnp.asarray(data), offsets=tuple(int(o) for o in offs), shape=(n, m)
+    )
+
+
+def to_ell(A, dtype=None, width: Optional[int] = None) -> EllMatrix:
+    """Convert to ELLPACK with rows padded to the max (or given) width."""
+    csr = _csr_parts(A)
+    n, m = csr.shape
+    row_nnz = np.diff(csr.indptr)
+    w = int(width if width is not None else row_nnz.max(initial=1))
+    w = max(w, 1)
+    dtype = dtype or csr.data.dtype
+    data = np.zeros((n, w), dtype=dtype)
+    indices = np.zeros((n, w), dtype=np.int32)
+    for i in range(n):
+        lo, hi = csr.indptr[i], csr.indptr[i + 1]
+        k = min(hi - lo, w)
+        data[i, :k] = csr.data[lo : lo + k]
+        indices[i, :k] = csr.indices[lo : lo + k]
+    return EllMatrix(data=jnp.asarray(data), indices=jnp.asarray(indices), shape=(n, m))
+
+
+def to_dense(A, dtype=None) -> DenseMatrix:
+    if hasattr(A, "toarray"):
+        arr = A.toarray()
+    else:
+        arr = np.asarray(A)
+    return DenseMatrix(jnp.asarray(arr, dtype=dtype))
+
+
+def pad_to_multiple(A: Operator, b: np.ndarray, multiple: int) -> Tuple[Operator, np.ndarray, int]:
+    """Zero-pad the system so N divides ``multiple``.
+
+    TPU-native version of the reference's padding step that makes N divisible
+    by the process/GPU count (reference: v2/cpu/mpi/common.py:28-51,
+    v2/gpu/common.py:25-60).  Padding rows get a unit diagonal (keeps the
+    operator SPD and padded solution entries exactly zero for zero rhs).
+    Returns (padded_A, padded_b, original_N).
+    """
+    n = A.shape[0]
+    pad = (-n) % multiple
+    if pad == 0:
+        return A, np.asarray(b), n
+    b_p = np.concatenate([np.asarray(b), np.zeros(pad, dtype=np.asarray(b).dtype)])
+    if isinstance(A, DiaMatrix):
+        data = np.asarray(A.data)
+        new = np.zeros((data.shape[0], n + pad), dtype=data.dtype)
+        new[:, :n] = data
+        offsets = A.offsets
+        if 0 in offsets:
+            d0 = offsets.index(0)
+        else:
+            offsets = (0,) + offsets
+            new = np.concatenate([np.zeros((1, n + pad), new.dtype), new], axis=0)
+            d0 = 0
+        new[d0, n:] = 1.0
+        return (
+            DiaMatrix(jnp.asarray(new), offsets, (n + pad, n + pad)),
+            b_p,
+            n,
+        )
+    if isinstance(A, EllMatrix):
+        data = np.asarray(A.data)
+        idx = np.asarray(A.indices)
+        w = data.shape[1]
+        new_data = np.zeros((n + pad, w), dtype=data.dtype)
+        new_idx = np.zeros((n + pad, w), dtype=idx.dtype)
+        new_data[:n] = data
+        new_idx[:n] = idx
+        new_data[n:, 0] = 1.0
+        new_idx[n:, 0] = np.arange(n, n + pad, dtype=idx.dtype)
+        return (
+            EllMatrix(jnp.asarray(new_data), jnp.asarray(new_idx), (n + pad, n + pad)),
+            b_p,
+            n,
+        )
+    if isinstance(A, DenseMatrix):
+        data = np.asarray(A.data)
+        new = np.zeros((n + pad, n + pad), dtype=data.dtype)
+        new[:n, :n] = data
+        new[range(n, n + pad), range(n, n + pad)] = 1.0
+        return DenseMatrix(jnp.asarray(new)), b_p, n
+    raise TypeError(f"cannot pad operator of type {type(A)}")

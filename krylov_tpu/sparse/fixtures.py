@@ -1,0 +1,108 @@
+"""Analytic SPD test problems (the benchmark configs from BASELINE.md).
+
+The reference validated solvers on externally supplied ``.mtx``/``.npy``
+matrices that were never committed (reference: .gitignore:1-19); these
+constructors provide the standard SPD families the baselines are defined on.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from krylov_tpu.sparse.formats import DiaMatrix, EllMatrix
+import jax.numpy as jnp
+
+
+def poisson1d(n: int, dtype=np.float64) -> DiaMatrix:
+    """1-D Poisson tridiagonal SPD matrix: diag 2, off-diags -1 (BASELINE config 1)."""
+    main = np.full(n, 2.0, dtype=dtype)
+    lower = np.zeros(n, dtype=dtype)
+    upper = np.zeros(n, dtype=dtype)
+    lower[1:] = -1.0  # A[i, i-1]
+    upper[: n - 1] = -1.0  # A[i, i+1]
+    data = np.stack([lower, main, upper])
+    return DiaMatrix(jnp.asarray(data), (-1, 0, 1), (n, n))
+
+
+def laplace2d(nx: int, ny: int | None = None, dtype=np.float64) -> DiaMatrix:
+    """2-D 5-point Laplacian on an nx*ny grid, row-major (BASELINE configs 2-3).
+
+    Offsets (-nx, -1, 0, 1, nx); interior stencil [4, -1, -1, -1, -1] with
+    Dirichlet boundaries (couplings across the grid edge dropped).
+    """
+    ny = ny if ny is not None else nx
+    n = nx * ny
+    ii = np.arange(n)
+    col = ii % nx
+    main = np.full(n, 4.0, dtype=dtype)
+    west = np.where(col > 0, -1.0, 0.0).astype(dtype)  # A[i, i-1]
+    east = np.where(col < nx - 1, -1.0, 0.0).astype(dtype)  # A[i, i+1]
+    north = np.where(ii >= nx, -1.0, 0.0).astype(dtype)  # A[i, i-nx]
+    south = np.where(ii < n - nx, -1.0, 0.0).astype(dtype)  # A[i, i+nx]
+    data = np.stack([north, west, main, east, south])
+    return DiaMatrix(jnp.asarray(data), (-nx, -1, 0, 1, nx), (n, n))
+
+
+def laplace3d(nx: int, ny: int | None = None, nz: int | None = None, dtype=np.float64) -> DiaMatrix:
+    """3-D 7-point Laplacian on an nx*ny*nz grid (for the >=10M-row configs)."""
+    ny = ny if ny is not None else nx
+    nz = nz if nz is not None else nx
+    n = nx * ny * nz
+    ii = np.arange(n)
+    cx = ii % nx
+    cy = (ii // nx) % ny
+    cz = ii // (nx * ny)
+    main = np.full(n, 6.0, dtype=dtype)
+    xm = np.where(cx > 0, -1.0, 0.0).astype(dtype)
+    xp = np.where(cx < nx - 1, -1.0, 0.0).astype(dtype)
+    ym = np.where(cy > 0, -1.0, 0.0).astype(dtype)
+    yp = np.where(cy < ny - 1, -1.0, 0.0).astype(dtype)
+    zm = np.where(cz > 0, -1.0, 0.0).astype(dtype)
+    zp = np.where(cz < nz - 1, -1.0, 0.0).astype(dtype)
+    data = np.stack([zm, ym, xm, main, xp, yp, zp])
+    return DiaMatrix(
+        jnp.asarray(data), (-nx * ny, -nx, -1, 0, 1, nx, nx * ny), (n, n)
+    )
+
+
+def random_spd_ell(
+    n: int, row_nnz: int = 8, seed: int = 0, dtype=np.float64
+) -> EllMatrix:
+    """Random diagonally-dominant SPD matrix in ELL format (general-sparse path).
+
+    Built as S + S^T + shift*I from a random sparse S, so it is symmetric and
+    strictly diagonally dominant (hence SPD).
+    """
+    rng = np.random.default_rng(seed)
+    half = max(1, row_nnz // 2)
+    rows = np.repeat(np.arange(n), half)
+    cols = rng.integers(0, n, size=rows.size)
+    vals = rng.uniform(-1.0, 1.0, size=rows.size).astype(dtype)
+    import scipy.sparse as sp
+
+    S = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    A = S + S.T
+    A = A.tolil()
+    A.setdiag(np.abs(A).sum(axis=1).A1 + 1.0)
+    A = A.tocsr()
+    from krylov_tpu.sparse.convert import to_ell
+
+    return to_ell(A, dtype=dtype)
+
+
+def rhs_for_solution(A, x_true: np.ndarray) -> np.ndarray:
+    """b = A @ x_true computed on host in float64 for a known-solution test."""
+    dense_free = hasattr(A, "matvec")
+    if dense_free:
+        import jax
+
+        return np.asarray(
+            jax.device_get(A.matvec(jnp.asarray(x_true, dtype=A.dtype)))
+        )
+    return np.asarray(A @ x_true)
+
+
+def ones_rhs(n: int, dtype=np.float64) -> np.ndarray:
+    return np.ones(n, dtype=dtype)

@@ -1,0 +1,197 @@
+"""TPU-native sparse matrix containers, registered as JAX pytrees.
+
+The reference library operates on ``np.ndarray`` dense matrices or
+``scipy.sparse.csr_matrix`` and leans on BLAS/cuSPARSE for ``A.dot(x)``
+(reference: v3/cpu/cg.py:27, v3/gpu/common.py:95-105).  CSR's per-row
+variable-length structure maps poorly onto the TPU's tiled memory/VPU model,
+so this library uses TPU-friendly containers instead:
+
+- :class:`DiaMatrix` — diagonal (banded / stencil) storage.  All of the
+  reference's benchmark problems (1-D Poisson, 2-D 5-point Laplacian) are
+  banded; a DIA matvec is a handful of shifted elementwise multiply-adds —
+  pure VPU work with unit-stride memory access and no gathers.
+- :class:`EllMatrix` — ELLPACK: fixed-width padded rows.  The general-sparse
+  workhorse; the matvec is a dense gather + row reduction that XLA maps well.
+- :class:`DenseMatrix` — plain dense operand; the matvec runs on the MXU.
+
+All containers are immutable pytrees so they can be passed through ``jit``,
+``shard_map``, ``scan`` etc.; structural metadata (shape, offsets, block
+sizes) is static so XLA sees fixed shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def _register_dataclass_pytree(cls, data_fields, meta_fields):
+    jax.tree_util.register_dataclass(
+        cls, data_fields=list(data_fields), meta_fields=list(meta_fields)
+    )
+    return cls
+
+
+@dataclasses.dataclass(frozen=True)
+class DiaMatrix:
+    """Banded matrix in row-indexed diagonal storage.
+
+    ``data[d, i] == A[i, i + offsets[d]]``; entries whose column index falls
+    outside ``[0, N)`` must be stored as zero.  ``offsets`` is static
+    (a tuple of python ints) so the matvec unrolls into ``len(offsets)``
+    shifted multiply-adds at trace time.
+    """
+
+    data: jax.Array  # (ndiags, nrows)
+    offsets: Tuple[int, ...]
+    shape: Tuple[int, int]
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def nnz(self) -> int:
+        # Upper bound (stored entries); exact for fixtures built without
+        # explicit zeros in-band.
+        n = self.shape[0]
+        return sum(n - abs(o) for o in self.offsets)
+
+    @property
+    def bandwidth(self) -> int:
+        return max(abs(o) for o in self.offsets) if self.offsets else 0
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        """y[i] = sum_d data[d, i] * x[i + offsets[d]]."""
+        n = self.shape[0]
+        y = jnp.zeros_like(x, shape=(n,))
+        for d, off in enumerate(self.offsets):
+            if off == 0:
+                y = y + self.data[d] * x
+            elif off > 0:
+                # y[i] += data[d, i] * x[i + off]  for i in [0, n - off)
+                contrib = self.data[d, : n - off] * x[off:]
+                y = y.at[: n - off].add(contrib)
+            else:
+                k = -off
+                # y[i] += data[d, i] * x[i - k]  for i in [k, n)
+                contrib = self.data[d, k:] * x[: n - k]
+                y = y.at[k:].add(contrib)
+        return y
+
+    def todense(self) -> np.ndarray:
+        n, m = self.shape
+        out = np.zeros((n, m), dtype=np.asarray(self.data).dtype)
+        data = np.asarray(self.data)
+        for d, off in enumerate(self.offsets):
+            for i in range(n):
+                j = i + off
+                if 0 <= j < m:
+                    out[i, j] = data[d, i]
+        return out
+
+
+_register_dataclass_pytree(DiaMatrix, ["data"], ["offsets", "shape"])
+
+
+@dataclasses.dataclass(frozen=True)
+class EllMatrix:
+    """ELLPACK (padded fixed-width rows).
+
+    ``data[i, s]`` is the value of the ``s``-th stored entry of row ``i`` and
+    ``indices[i, s]`` its column.  Padding slots carry value 0 with an
+    arbitrary in-range column index, so they contribute nothing to the
+    matvec.  The matvec is ``(data * x[indices]).sum(-1)`` — one gather plus
+    a row reduction, both static-shape.
+    """
+
+    data: jax.Array  # (nrows, width)
+    indices: jax.Array  # (nrows, width) int32
+    shape: Tuple[int, int]
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def width(self) -> int:
+        return self.data.shape[1]
+
+    @property
+    def nnz(self) -> int:
+        return int(np.count_nonzero(np.asarray(self.data)))
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        gathered = jnp.take(x, self.indices, axis=0)
+        return jnp.sum(self.data * gathered, axis=1)
+
+    def todense(self) -> np.ndarray:
+        n, m = self.shape
+        out = np.zeros((n, m), dtype=np.asarray(self.data).dtype)
+        data = np.asarray(self.data)
+        idx = np.asarray(self.indices)
+        for i in range(n):
+            for s in range(idx.shape[1]):
+                out[i, idx[i, s]] += data[i, s]
+        return out
+
+
+_register_dataclass_pytree(EllMatrix, ["data", "indices"], ["shape"])
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseMatrix:
+    """Dense operand; matvec maps onto the MXU with full-precision accumulation."""
+
+    data: jax.Array  # (nrows, ncols)
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def nnz(self) -> int:
+        return int(self.data.shape[0]) * int(self.data.shape[1])
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        return jnp.dot(self.data, x, precision=lax.Precision.HIGHEST)
+
+    def todense(self) -> np.ndarray:
+        return np.asarray(self.data)
+
+
+_register_dataclass_pytree(DenseMatrix, ["data"], [])
+
+
+Operator = DiaMatrix | EllMatrix | DenseMatrix
+
+
+def as_operator(A, dtype=None) -> Operator:
+    """Coerce ``A`` into a library operator.
+
+    Accepts our containers (returned unchanged), numpy/JAX dense arrays, and
+    scipy sparse matrices (converted via :func:`krylov_tpu.sparse.convert`).
+    This is the front-door coercion used by :func:`krylov_tpu.api.solve`, the
+    analog of the reference accepting either ``np.ndarray`` or
+    ``scipy.sparse.csr_matrix`` (reference: v2/cpu/mpi/common.py:26-64 treats
+    both cases explicitly).
+    """
+    from krylov_tpu.sparse import convert
+
+    if isinstance(A, (DiaMatrix, EllMatrix, DenseMatrix)):
+        return A
+    if hasattr(A, "tocsr") and hasattr(A, "nnz"):  # scipy sparse
+        return convert.from_scipy(A, dtype=dtype)
+    arr = jnp.asarray(A, dtype=dtype)
+    if arr.ndim != 2:
+        raise ValueError(f"expected a 2-D operand, got shape {arr.shape}")
+    return DenseMatrix(arr)

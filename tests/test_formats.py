@@ -1,0 +1,121 @@
+"""Container correctness: conversions and matvecs vs scipy dense ground truth."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from krylov_tpu.sparse import DenseMatrix, DiaMatrix, EllMatrix, as_operator, convert
+from krylov_tpu.sparse.fixtures import laplace2d, laplace3d, poisson1d, random_spd_ell
+
+
+def _random_csr(n, density, rng, sym=True):
+    m = sp.random(n, n, density=density, random_state=np.random.RandomState(7))
+    if sym:
+        m = m + m.T
+    m = m.tocsr()
+    m.setdiag(np.abs(m).sum(axis=1).A1 + 1.0)
+    return m.tocsr()
+
+
+def test_poisson1d_matches_scipy():
+    n = 50
+    A = poisson1d(n)
+    ref = sp.diags([-1, 2, -1], [-1, 0, 1], shape=(n, n)).toarray()
+    np.testing.assert_allclose(A.todense(), ref)
+
+
+def test_laplace2d_matches_kron():
+    nx = 7
+    T = sp.diags([-1, 2, -1], [-1, 0, 1], shape=(nx, nx))
+    I = sp.eye(nx)
+    ref = (sp.kron(I, T) + sp.kron(T, I)).toarray()
+    A = laplace2d(nx)
+    np.testing.assert_allclose(A.todense(), ref)
+
+
+def test_laplace3d_spd_rowsums():
+    A = laplace3d(4)
+    dense = A.todense()
+    np.testing.assert_allclose(dense, dense.T)
+    w = np.linalg.eigvalsh(dense)
+    assert w.min() > 0
+
+
+@pytest.mark.parametrize("fixture", ["poisson", "laplace"])
+def test_dia_matvec(fixture):
+    A = poisson1d(40) if fixture == "poisson" else laplace2d(8)
+    n = A.shape[0]
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(n)
+    y = np.asarray(A.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(y, A.todense() @ x, rtol=1e-12)
+
+
+def test_to_dia_roundtrip(rng):
+    csr = _random_csr(30, 0.1, rng)
+    # force dia regardless of heuristic
+    A = convert.to_dia(csr)
+    np.testing.assert_allclose(A.todense(), csr.toarray(), rtol=1e-12)
+    x = rng.standard_normal(30)
+    np.testing.assert_allclose(
+        np.asarray(A.matvec(jnp.asarray(x))), csr @ x, rtol=1e-12
+    )
+
+
+def test_to_ell_roundtrip(rng):
+    csr = _random_csr(35, 0.15, rng)
+    A = convert.to_ell(csr)
+    np.testing.assert_allclose(A.todense(), csr.toarray(), rtol=1e-12)
+    x = rng.standard_normal(35)
+    np.testing.assert_allclose(
+        np.asarray(A.matvec(jnp.asarray(x))), csr @ x, rtol=1e-12
+    )
+
+
+def test_as_operator_dispatch(rng):
+    csr = _random_csr(20, 0.1, rng)
+    op = as_operator(csr)
+    assert isinstance(op, (DiaMatrix, EllMatrix))
+    dense_op = as_operator(csr.toarray())
+    assert isinstance(dense_op, DenseMatrix)
+    x = rng.standard_normal(20)
+    np.testing.assert_allclose(
+        np.asarray(op.matvec(jnp.asarray(x))), csr @ x, rtol=1e-12
+    )
+
+
+def test_banded_goes_dia():
+    A = as_operator(sp.diags([-1, 2, -1], [-1, 0, 1], shape=(64, 64)).tocsr())
+    assert isinstance(A, DiaMatrix)
+
+
+def test_random_spd_ell_is_spd():
+    A = random_spd_ell(40, row_nnz=6)
+    dense = A.todense()
+    np.testing.assert_allclose(dense, dense.T, atol=1e-12)
+    assert np.linalg.eigvalsh(dense).min() > 0
+
+
+@pytest.mark.parametrize("kind", ["dia", "ell", "dense"])
+def test_pad_to_multiple(kind, rng):
+    n, mult = 29, 8
+    csr = _random_csr(n, 0.1, rng)
+    if kind == "dia":
+        A = convert.to_dia(csr)
+    elif kind == "ell":
+        A = convert.to_ell(csr)
+    else:
+        A = convert.to_dense(csr)
+    b = rng.standard_normal(n)
+    A_p, b_p, n_orig = convert.pad_to_multiple(A, b, mult)
+    assert n_orig == n
+    assert A_p.shape[0] % mult == 0
+    dense_p = A_p.todense()
+    np.testing.assert_allclose(dense_p[:n, :n], csr.toarray(), rtol=1e-12)
+    # padding rows: unit diagonal, decoupled
+    np.testing.assert_allclose(dense_p[n:, :n], 0.0)
+    np.testing.assert_allclose(dense_p[:n, n:], 0.0)
+    np.testing.assert_allclose(dense_p[n:, n:], np.eye(A_p.shape[0] - n))
+    np.testing.assert_allclose(b_p[n:], 0.0)
