@@ -1,0 +1,141 @@
+"""Benchmark harness: BASELINE.md config 2 (MrR, 2-D 5-point Laplacian,
+N=250k, single chip).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+``vs_baseline`` is the speedup over a freshly-measured NumPy/SciPy
+implementation with the reference's semantics (float64, per-iteration
+Python loop — the reference publishes no numbers of its own, see
+BASELINE.md, so the baseline is measured in-process on this machine's CPU).
+Extra measurements (SpMV nnz/s and GFLOP/s, iteration counts) ride in
+"extra".
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def numpy_mrr_baseline(A_csr, b, tol, maxiter):
+    """Reference-semantics MrR in NumPy (float64, scipy CSR SpMV) used as the
+    measured baseline (algorithm per reference: v3/cpu/mrr.py:7-61)."""
+    t0 = time.perf_counter()
+    n = b.shape[0]
+    x = np.zeros(n)
+    b_norm = np.linalg.norm(b)
+    r = b - A_csr @ x
+    Ar = A_csr @ r
+    zeta = r.dot(Ar) / Ar.dot(Ar)
+    y = zeta * Ar
+    z = -zeta * r
+    r = r - y
+    x = x - z
+    i = 1
+    while i < maxiter:
+        if np.linalg.norm(r) / b_norm < tol:
+            break
+        Ar = A_csr @ r
+        gamma = y.dot(Ar) / y.dot(y)
+        s = Ar - gamma * y
+        zeta = r.dot(s) / s.dot(s)
+        eta = -zeta * gamma
+        y = eta * y + zeta * Ar
+        z = eta * z - zeta * r
+        r = r - y
+        x = x - z
+        i += 1
+    return time.perf_counter() - t0, i, np.linalg.norm(r) / b_norm
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import krylov_tpu
+    from krylov_tpu.sparse.fixtures import laplace2d
+
+    NX = 500  # N = 250,000
+    TOL = 1e-5
+    MAXITER = 3000
+    dtype = np.float32 if jax.default_backend() == "tpu" else np.float64
+
+    A = laplace2d(NX, dtype=dtype)
+    n = A.shape[0]
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(n).astype(dtype)
+
+    # --- SpMV microbench: loop inside ONE jit so dispatch latency doesn't
+    # dominate (the matrix is scaled so repeated application cannot overflow).
+    from jax import lax
+
+    A_scaled = jax.tree.map(lambda d: d / 8.0, A)
+    REPS = 200
+
+    @jax.jit
+    def spmv_loop(x):
+        return lax.fori_loop(0, REPS, lambda i, v: A_scaled.matvec(v), x)
+
+    x0 = jnp.asarray(b)
+    spmv_loop(x0).block_until_ready()  # compile
+    t0 = time.perf_counter()
+    spmv_loop(x0).block_until_ready()
+    spmv_t = (time.perf_counter() - t0) / REPS
+    nnz = A.nnz
+    spmv_nnzs = nnz / spmv_t
+    spmv_gflops = 2 * nnz / spmv_t / 1e9
+
+    # --- MrR time-to-solution (warmup compiles, then best-of-3).
+    krylov_tpu.solve(A, b, method="mrr", tol=TOL, maxiter=MAXITER)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        x, info = krylov_tpu.solve(A, b, method="mrr", tol=TOL, maxiter=MAXITER)
+        times.append(time.perf_counter() - t0)
+    tpu_time = min(times)
+
+    # --- NumPy/SciPy baseline (reference semantics, float64).
+    import scipy.sparse as sp
+
+    A64_dia = laplace2d(NX, dtype=np.float64).to_dia()
+    # Build CSR from the row-indexed DIA layout via COO.
+    ii = []
+    jj = []
+    vv = []
+    data = np.asarray(A64_dia.data)
+    for d, off in enumerate(A64_dia.offsets):
+        rows = np.arange(max(0, -off), min(n, n - off))
+        ii.append(rows)
+        jj.append(rows + off)
+        vv.append(data[d, rows])
+    A_csr = sp.coo_matrix(
+        (np.concatenate(vv), (np.concatenate(ii), np.concatenate(jj))),
+        shape=(n, n),
+    ).tocsr()
+    base_time, base_iters, base_res = numpy_mrr_baseline(
+        A_csr, b.astype(np.float64), TOL, MAXITER
+    )
+
+    result = {
+        "metric": "mrr_laplace2d_n250k_time_to_solution",
+        "value": round(tpu_time, 6),
+        "unit": "s",
+        "vs_baseline": round(base_time / tpu_time, 3),
+        "extra": {
+            "backend": jax.default_backend(),
+            "dtype": str(np.dtype(dtype)),
+            "converged": bool(info["converged"]),
+            "iterations": int(info["iterations"]),
+            "final_residual": float(info["residual"][-1]),
+            "spmv_nnz_per_s": round(spmv_nnzs / 1e9, 3),
+            "spmv_gflops": round(spmv_gflops, 3),
+            "baseline_numpy_time_s": round(base_time, 6),
+            "baseline_iterations": int(base_iters),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

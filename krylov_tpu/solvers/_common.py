@@ -36,6 +36,22 @@ def tree_select(pred, on_true, on_false):
     return jax.tree.map(lambda a, b: jnp.where(pred, a, b), on_true, on_false)
 
 
+def safe_div(num, den):
+    """``num / den`` with exact-zero denominators mapped to 0.
+
+    Krylov recurrences divide by inner products that become exactly zero at
+    exact convergence (e.g. ``<Ap, p>`` once ``p == 0``).  The reference
+    implementations produce NaN there and report divergence even though the
+    iterate is exact (observed on reference: v3/cpu/kskipmrr.py:87-88 and
+    v3/cpu/kskipcg.py:50-51 with rhs vectors exciting few eigenmodes).  A
+    zero quotient instead freezes the affected update (the step becomes a
+    no-op), so the converged iterate survives to the next residual check.
+    For nonzero denominators this is bit-identical to a plain divide.
+    """
+    zero = den == 0
+    return jnp.where(zero, jnp.zeros_like(num), num / jnp.where(zero, 1, den))
+
+
 @dataclasses.dataclass(frozen=True)
 class SolveResult:
     """Fixed-shape result of a jitted solver kernel.

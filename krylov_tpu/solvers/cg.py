@@ -14,7 +14,12 @@ import jax.numpy as jnp
 from jax import lax
 
 from krylov_tpu.context import Context, DEFAULT_CONTEXT
-from krylov_tpu.solvers._common import SolveResult, scalar_dtype_of, tree_select
+from krylov_tpu.solvers._common import (
+    SolveResult,
+    safe_div,
+    scalar_dtype_of,
+    tree_select,
+)
 
 
 def cg_kernel(
@@ -49,11 +54,11 @@ def cg_kernel(
 
         v = ctx.matvec(A, p)
         sigma = ctx.dot(p, v)
-        alpha = gamma / sigma
+        alpha = safe_div(gamma, sigma)
         x_n = x + (alpha * p).astype(x.dtype)
         r_n = r - (alpha * v).astype(r.dtype)
         gamma_n = ctx.dot(r_n, r_n)
-        beta = gamma_n / gamma
+        beta = safe_div(gamma_n, gamma)
         p_n = r_n + (beta * p).astype(p.dtype)
 
         x, r, p, gamma = tree_select(

@@ -23,7 +23,12 @@ import jax.numpy as jnp
 from jax import lax
 
 from krylov_tpu.context import Context, DEFAULT_CONTEXT
-from krylov_tpu.solvers._common import SolveResult, scalar_dtype_of, tree_select
+from krylov_tpu.solvers._common import (
+    SolveResult,
+    safe_div,
+    scalar_dtype_of,
+    tree_select,
+)
 
 
 def mrr_kernel(
@@ -46,7 +51,7 @@ def mrr_kernel(
 
     Ar = ctx.matvec(A, r)
     rAr, ArAr = ctx.dot_bundle([(r, Ar), (Ar, Ar)])
-    zeta = rAr / ArAr
+    zeta = safe_div(rAr, ArAr)
     y = (zeta * Ar).astype(r.dtype)
     z = (-zeta * r).astype(r.dtype)
     r = r - y
@@ -70,10 +75,10 @@ def mrr_kernel(
         trace = trace.at[i].set(res)
         conv = res < tol
 
-        gamma = nu / mu
+        gamma = safe_div(nu, mu)
         s = Ar - (gamma * y).astype(r.dtype)
         rs, ss = ctx.dot_bundle([(r, s), (s, s)])
-        zeta = rs / ss
+        zeta = safe_div(rs, ss)
         eta = -zeta * gamma
         y_n = (eta * y + zeta * Ar).astype(r.dtype)
         z_n = (eta * z - zeta * r).astype(r.dtype)

@@ -3,6 +3,7 @@ from krylov_tpu.sparse.formats import (
     DiaMatrix,
     EllMatrix,
     Operator,
+    StencilMatrix,
     as_operator,
 )
 from krylov_tpu.sparse import convert, fixtures
@@ -11,6 +12,7 @@ __all__ = [
     "DenseMatrix",
     "DiaMatrix",
     "EllMatrix",
+    "StencilMatrix",
     "Operator",
     "as_operator",
     "convert",

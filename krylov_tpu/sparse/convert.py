@@ -113,10 +113,15 @@ def pad_to_multiple(A: Operator, b: np.ndarray, multiple: int) -> Tuple[Operator
     operator SPD and padded solution entries exactly zero for zero rhs).
     Returns (padded_A, padded_b, original_N).
     """
+    from krylov_tpu.sparse.formats import StencilMatrix
+
     n = A.shape[0]
     pad = (-n) % multiple
     if pad == 0:
         return A, np.asarray(b), n
+    if isinstance(A, StencilMatrix):
+        # Padded stencils lose their grid structure; fall back to flat DIA.
+        return pad_to_multiple(A.to_dia(), b, multiple)
     b_p = np.concatenate([np.asarray(b), np.zeros(pad, dtype=np.asarray(b).dtype)])
     if isinstance(A, DiaMatrix):
         data = np.asarray(A.data)

@@ -11,7 +11,7 @@ from typing import Tuple
 
 import numpy as np
 
-from krylov_tpu.sparse.formats import DiaMatrix, EllMatrix
+from krylov_tpu.sparse.formats import DiaMatrix, EllMatrix, StencilMatrix
 import jax.numpy as jnp
 
 
@@ -26,45 +26,54 @@ def poisson1d(n: int, dtype=np.float64) -> DiaMatrix:
     return DiaMatrix(jnp.asarray(data), (-1, 0, 1), (n, n))
 
 
-def laplace2d(nx: int, ny: int | None = None, dtype=np.float64) -> DiaMatrix:
-    """2-D 5-point Laplacian on an nx*ny grid, row-major (BASELINE configs 2-3).
+def laplace2d(nx: int, ny: int | None = None, dtype=np.float64) -> StencilMatrix:
+    """2-D 5-point Laplacian on an ny*nx grid, row-major (BASELINE configs 2-3).
 
-    Offsets (-nx, -1, 0, 1, nx); interior stencil [4, -1, -1, -1, -1] with
-    Dirichlet boundaries (couplings across the grid edge dropped).
+    Returned as a grid-aware :class:`StencilMatrix` (the TPU-roofline
+    container); interior stencil [4, -1, -1, -1, -1] with Dirichlet
+    boundaries (couplings across the grid edge stored as zero).
     """
     ny = ny if ny is not None else nx
-    n = nx * ny
-    ii = np.arange(n)
-    col = ii % nx
-    main = np.full(n, 4.0, dtype=dtype)
-    west = np.where(col > 0, -1.0, 0.0).astype(dtype)  # A[i, i-1]
-    east = np.where(col < nx - 1, -1.0, 0.0).astype(dtype)  # A[i, i+1]
-    north = np.where(ii >= nx, -1.0, 0.0).astype(dtype)  # A[i, i-nx]
-    south = np.where(ii < n - nx, -1.0, 0.0).astype(dtype)  # A[i, i+nx]
-    data = np.stack([north, west, main, east, south])
-    return DiaMatrix(jnp.asarray(data), (-nx, -1, 0, 1, nx), (n, n))
+    iy = np.arange(ny)[:, None]
+    ix = np.arange(nx)[None, :]
+    main = np.full((ny, nx), 4.0, dtype=dtype)
+    north = np.broadcast_to((iy > 0), (ny, nx)).astype(dtype) * -1.0  # (i-1, j)
+    south = np.broadcast_to((iy < ny - 1), (ny, nx)).astype(dtype) * -1.0
+    west = np.broadcast_to((ix > 0), (ny, nx)).astype(dtype) * -1.0  # (i, j-1)
+    east = np.broadcast_to((ix < nx - 1), (ny, nx)).astype(dtype) * -1.0
+    coef = np.stack([north, west, main, east, south]).astype(dtype)
+    stencil = ((-1, 0), (0, -1), (0, 0), (0, 1), (1, 0))
+    return StencilMatrix(jnp.asarray(coef), stencil, (ny, nx))
 
 
-def laplace3d(nx: int, ny: int | None = None, nz: int | None = None, dtype=np.float64) -> DiaMatrix:
-    """3-D 7-point Laplacian on an nx*ny*nz grid (for the >=10M-row configs)."""
+def laplace3d(
+    nx: int, ny: int | None = None, nz: int | None = None, dtype=np.float64
+) -> StencilMatrix:
+    """3-D 7-point Laplacian on an nz*ny*nx grid (for the >=10M-row configs)."""
     ny = ny if ny is not None else nx
     nz = nz if nz is not None else nx
-    n = nx * ny * nz
-    ii = np.arange(n)
-    cx = ii % nx
-    cy = (ii // nx) % ny
-    cz = ii // (nx * ny)
-    main = np.full(n, 6.0, dtype=dtype)
-    xm = np.where(cx > 0, -1.0, 0.0).astype(dtype)
-    xp = np.where(cx < nx - 1, -1.0, 0.0).astype(dtype)
-    ym = np.where(cy > 0, -1.0, 0.0).astype(dtype)
-    yp = np.where(cy < ny - 1, -1.0, 0.0).astype(dtype)
-    zm = np.where(cz > 0, -1.0, 0.0).astype(dtype)
-    zp = np.where(cz < nz - 1, -1.0, 0.0).astype(dtype)
-    data = np.stack([zm, ym, xm, main, xp, yp, zp])
-    return DiaMatrix(
-        jnp.asarray(data), (-nx * ny, -nx, -1, 0, 1, nx, nx * ny), (n, n)
+    iz = np.arange(nz)[:, None, None]
+    iy = np.arange(ny)[None, :, None]
+    ix = np.arange(nx)[None, None, :]
+    shp = (nz, ny, nx)
+    main = np.full(shp, 6.0, dtype=dtype)
+    zm = np.broadcast_to(iz > 0, shp).astype(dtype) * -1.0
+    zp = np.broadcast_to(iz < nz - 1, shp).astype(dtype) * -1.0
+    ym = np.broadcast_to(iy > 0, shp).astype(dtype) * -1.0
+    yp = np.broadcast_to(iy < ny - 1, shp).astype(dtype) * -1.0
+    xm = np.broadcast_to(ix > 0, shp).astype(dtype) * -1.0
+    xp = np.broadcast_to(ix < nx - 1, shp).astype(dtype) * -1.0
+    coef = np.stack([zm, ym, xm, main, xp, yp, zp]).astype(dtype)
+    stencil = (
+        (-1, 0, 0),
+        (0, -1, 0),
+        (0, 0, -1),
+        (0, 0, 0),
+        (0, 0, 1),
+        (0, 1, 0),
+        (1, 0, 0),
     )
+    return StencilMatrix(jnp.asarray(coef), stencil, shp)
 
 
 def random_spd_ell(

@@ -16,10 +16,15 @@ import os
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 
+# Force CPU via the config too: on machines with the axon TPU tunnel, a
+# sitecustomize imports jax at interpreter startup, freezing the
+# JAX_PLATFORMS=axon env var before this conftest runs — the env mutation
+# above is then ineffective and only the config update takes effect.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np

@@ -1,0 +1,77 @@
+"""Preconditioned / pipelined CG family (capability of the reference's
+v1/threads/pipeline tree) + TPU-native preconditioners."""
+
+import numpy as np
+import pytest
+
+import krylov_tpu
+from krylov_tpu import precond
+from krylov_tpu.sparse.fixtures import laplace2d, poisson1d
+
+METHODS = ["pcg", "chronopoulos_gear", "gropp", "pipelined_cg"]
+
+
+def _system(nx=12, seed=3):
+    A = laplace2d(nx)
+    rng = np.random.default_rng(seed)
+    x_true = rng.standard_normal(A.shape[0])
+    b = A.todense() @ x_true
+    return A, b, x_true
+
+
+@pytest.mark.parametrize("method", METHODS)
+def test_unpreconditioned(method):
+    A, b, x_true = _system()
+    x, info = krylov_tpu.solve(A, b, method=method, tol=1e-10, maxiter=2000)
+    assert info["converged"], info["residual"][-5:]
+    np.testing.assert_allclose(x, x_true, rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("method", METHODS)
+def test_jacobi_preconditioned(method):
+    A, b, x_true = _system()
+    M = precond.jacobi(A)
+    x, info = krylov_tpu.solve(A, b, method=method, M=M, tol=1e-10, maxiter=2000)
+    assert info["converged"]
+    np.testing.assert_allclose(x, x_true, rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("method", ["pcg", "pipelined_cg"])
+def test_chebyshev_preconditioner_cuts_iterations(method):
+    A = laplace2d(24)
+    b = np.ones(A.shape[0])
+    _, info_plain = krylov_tpu.solve(A, b, method=method, tol=1e-9, maxiter=5000)
+    M = precond.chebyshev(A, degree=6)
+    _, info_prec = krylov_tpu.solve(
+        A, b, method=method, M=M, tol=1e-9, maxiter=5000
+    )
+    assert info_plain["converged"] and info_prec["converged"]
+    # A degree-6 polynomial preconditioner should cut outer iterations by
+    # well over 2x on the Laplacian.
+    assert info_prec["iterations"] * 2 < info_plain["iterations"]
+
+
+def test_unpreconditioned_pcg_matches_cg():
+    """With M=I, PCG is plain CG (same alpha/beta sequences)."""
+    A = poisson1d(100)
+    b = np.ones(100)
+    _, i1 = krylov_tpu.solve(A, b, method="pcg", tol=1e-9, maxiter=500)
+    _, i2 = krylov_tpu.solve(A, b, method="cg", tol=1e-9, maxiter=500)
+    assert i1["converged"] and i2["converged"]
+    assert abs(i1["iterations"] - i2["iterations"]) <= 1
+    m = min(len(i1["residual"]), len(i2["residual"]))
+    np.testing.assert_allclose(i1["residual"][:m], i2["residual"][:m], rtol=1e-7)
+
+
+def test_chebyshev_apply_approximates_inverse():
+    A = laplace2d(10)
+    n = A.shape[0]
+    M = precond.chebyshev(A, degree=20, lmin=0.05, lmax=8.0)
+    from krylov_tpu.context import DEFAULT_CONTEXT
+    import jax.numpy as jnp
+
+    v = np.ones(n)
+    z = np.asarray(M.matvec(jnp.asarray(v), DEFAULT_CONTEXT))
+    # z should be much closer to A^{-1} v than v itself is.
+    x_exact = np.linalg.solve(A.todense(), v)
+    assert np.linalg.norm(z - x_exact) < 0.5 * np.linalg.norm(v - x_exact)
