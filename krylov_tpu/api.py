@@ -101,6 +101,104 @@ def _run_kernel(A, b, x0, tol, method, maxiter, k, ctx, M=None):
     return kernel(A, b, x0, **kwargs)
 
 
+def _fused_eligible(A, method, M, scalar_dtype, fused) -> bool:
+    """Auto-select the fused whole-solve-in-one-kernel path
+    (:mod:`krylov_tpu.kernels.fused`) when it applies."""
+    from krylov_tpu.sparse.formats import StencilMatrix
+
+    if fused is False:
+        return False
+    ok = (
+        jax.default_backend() == "tpu"  # Mosaic path; CPU uses lax.while_loop
+        and method in ("cg", "mrr")
+        and M is None
+        and scalar_dtype in (None, A.dtype)
+        and isinstance(A, StencilMatrix)
+        and len(A.grid) == 2
+        # whole working set (coefficients + ~5 vectors) must fit VMEM
+        and (len(A.stencil) + 5) * A.shape[0] * np.dtype(A.dtype).itemsize
+        <= 13 * 1024 * 1024
+        and max(abs(d[0]) for d in A.stencil) <= 8
+    )
+    if fused is True and not ok:
+        raise ValueError(
+            "fused=True requires the TPU backend and a 2-D StencilMatrix "
+            "system fitting VMEM with method cg/mrr and no "
+            "preconditioner/mesh"
+        )
+    return ok
+
+
+@partial(jax.jit, static_argnames=("method", "maxiter"))
+def _run_fused(A, b, x0, tol, method, maxiter):
+    from krylov_tpu.kernels.fused import fused_cg_solve_2d, fused_mrr_solve_2d
+    from krylov_tpu.solvers import SolveResult
+
+    # x0 shift: solve A dx = b - A x0, return x0 + dx.  The residual history
+    # is identical (r0 = b - A x0 either way); b_norm stays that of the
+    # ORIGINAL b (reference: v3/cpu/common.py:24).
+    b_norm = jnp.linalg.norm(b)
+    b_eff = b - A.matvec(x0)
+    fn = fused_cg_solve_2d if method == "cg" else fused_mrr_solve_2d
+    dx, trace, iters, conv = fn(
+        A.coef,
+        b_eff,
+        tol,
+        b_norm,
+        stencil=A.stencil,
+        grid=A.grid,
+        maxiter=maxiter,
+    )
+    return SolveResult(
+        x=x0 + dx,
+        residual_trace=trace,
+        nosl_trace=jnp.arange(maxiter + 1, dtype=jnp.int32),
+        iterations=iters,
+        index=iters,
+        converged=conv,
+    )
+
+
+def solve_device(
+    A,
+    b,
+    method: str = "cg",
+    x0=None,
+    tol: float = 1e-5,
+    maxiter: Optional[int] = None,
+    k: int = 0,
+    M=None,
+    mesh=None,
+    scalar_dtype=None,
+    fused=None,
+):
+    """Like :func:`solve` but returns the raw on-device
+    :class:`~krylov_tpu.solvers.SolveResult` (fixed-shape traces, no host
+    sync, no info dict) — for composing solves inside larger jitted
+    programs and for device-side benchmarking."""
+    A = as_operator(A)
+    b = jnp.asarray(b, dtype=A.dtype)
+    n = b.shape[0]
+    if maxiter is None:
+        maxiter = n
+    x0 = (
+        jnp.zeros(n, dtype=A.dtype)
+        if x0 is None
+        else jnp.asarray(x0, dtype=A.dtype)
+    )
+    if mesh is None and _fused_eligible(A, method, M, scalar_dtype, fused):
+        return _run_fused(A, b, x0, tol, method, maxiter)
+    if mesh is None:
+        ctx = Context(axis=None, scalar_dtype=scalar_dtype)
+        return _run_kernel(A, b, x0, jnp.asarray(tol), method, maxiter, k, ctx, M)
+    from krylov_tpu.dist import solve_sharded
+
+    return solve_sharded(
+        A, b, x0, tol=tol, method=method, maxiter=maxiter, k=k, M=M,
+        mesh=mesh, scalar_dtype=scalar_dtype,
+    )
+
+
 def solve(
     A,
     b,
@@ -112,6 +210,7 @@ def solve(
     M=None,
     mesh=None,
     scalar_dtype=None,
+    fused=None,
     verbose: bool = False,
 ):
     """Solve the SPD system ``A x = b``; returns ``(x, info)``.
@@ -149,15 +248,6 @@ def solve(
             f"need a square system: A has shape {A.shape}, b has shape "
             f"{np.asarray(b).shape}"
         )
-    b = jnp.asarray(b, dtype=A.dtype)
-    n = b.shape[0]
-    if maxiter is None:
-        maxiter = n  # reference default (reference: v3/cpu/common.py:31-32)
-    x0 = (
-        jnp.zeros(n, dtype=A.dtype)
-        if x0 is None
-        else jnp.asarray(x0, dtype=A.dtype)
-    )
 
     if verbose:
         start_banner(
@@ -166,26 +256,19 @@ def solve(
         )
 
     t0 = time.perf_counter()
-    if mesh is None:
-        ctx = Context(axis=None, scalar_dtype=scalar_dtype)
-        result = _run_kernel(
-            A, b, x0, jnp.asarray(tol), method, maxiter, k, ctx, M
-        )
-    else:
-        from krylov_tpu.dist import solve_sharded
-
-        result = solve_sharded(
-            A,
-            b,
-            x0,
-            tol=tol,
-            method=method,
-            maxiter=maxiter,
-            k=k,
-            M=M,
-            mesh=mesh,
-            scalar_dtype=scalar_dtype,
-        )
+    result = solve_device(
+        A,
+        b,
+        method=method,
+        x0=x0,
+        tol=tol,
+        maxiter=maxiter,
+        k=k,
+        M=M,
+        mesh=mesh,
+        scalar_dtype=scalar_dtype,
+        fused=fused,
+    )
     result = jax.block_until_ready(result)
     elapsed = time.perf_counter() - t0
 

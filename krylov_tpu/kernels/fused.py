@@ -1,0 +1,354 @@
+"""Fused whole-solve Pallas kernels: the ENTIRE Krylov iteration loop in one
+kernel launch with all state resident in VMEM.
+
+Measured motivation: at the BASELINE config-2 size (2-D Laplacian, N=250k,
+f32) every per-op dispatch on the TPU costs hundreds of microseconds while
+the actual arithmetic per MrR iteration is ~10us of VPU work on ~6 MB of
+VMEM-resident data.  The XLA while_loop path pays that overhead for every
+SpMV/reduction; this kernel pays it ONCE per solve: coefficients, iterate,
+and auxiliary vectors are loaded into VMEM and the full ``while`` loop —
+stencil SpMV, fused inner products, vector updates, convergence test,
+residual trace — runs on-core.  This is the TPU answer to the reference's
+CUDA-side iteration loops (reference: v3/gpu/mrr.py:32-52, which still
+bounces control to the host every iteration).
+
+Scope: 2-D stencil operators whose working set fits VMEM (~<=1.5M rows
+f32); the generic ``lax.while_loop`` path in :mod:`krylov_tpu.solvers`
+covers everything else.  x0 is handled by the wrapper via the shift
+``A (x0 + dx) = b  =>  A dx = b - A x0`` (identical residual history, since
+``r0 = b - A x0`` either way).
+
+The residual trace is accumulated one-hot into a (rows, 128) VMEM buffer —
+a dynamic-index scalar store would be an unsupported/slow sublane op.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_H = 8  # sublane-aligned row halo for the in-kernel stencil
+
+
+def _apply_stencil(coef_ref, rp, stencil, g0p, g1, p1):
+    """A @ r from the padded VMEM value ``rp`` via static shifted slices."""
+    acc = None
+    for s, (d0, d1) in enumerate(stencil):
+        block = rp[_H + d0 : _H + d0 + g0p, p1 + d1 : p1 + d1 + g1]
+        term = coef_ref[s] * block
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _onehot_row(i, rows, cols, dtype):
+    r_ids = lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    c_ids = lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    flat = r_ids * cols + c_ids
+    return (flat == i).astype(dtype)
+
+
+def _mrr_fused_kernel(
+    scal_ref,  # SMEM (2,): [tol, b_norm]
+    coef_ref,  # VMEM (ns, g0p, g1)
+    b_ref,  # VMEM (g0p, g1)  (zero in padded rows)
+    x_ref,  # out VMEM (g0p, g1)
+    trace_ref,  # out VMEM (tr, 128)
+    stats_ref,  # out SMEM (2,): [iters, converged]
+    rp_ref,  # scratch VMEM (g0p + 2H, g1 + p1lo + p1hi) padded residual
+    y_ref,
+    z_ref,
+    *,
+    stencil,
+    g0p,
+    g1,
+    p1lo,
+    maxiter,
+    tr_rows,
+):
+    tol = scal_ref[0]
+    b_norm = scal_ref[1]
+    dt = b_ref.dtype
+    interior = (slice(_H, _H + g0p), slice(p1lo, p1lo + g1))
+
+    # r0 = b (x0 = 0 after the wrapper's shift)
+    rp_ref[...] = jnp.zeros(rp_ref.shape, dt)
+    rp_ref[interior] = b_ref[...]
+    r = b_ref[...]
+    rr0 = jnp.sum(r * r)
+    res0 = jnp.sqrt(rr0) / b_norm
+    trace_ref[...] = _onehot_row(0, tr_rows, 128, dt) * res0
+
+    # init half-iteration (reference: v3/cpu/mrr.py:15-25)
+    Ar = _apply_stencil(coef_ref, rp_ref[...], stencil, g0p, g1, p1lo)
+    rAr = jnp.sum(r * Ar)
+    ArAr = jnp.sum(Ar * Ar)
+    zeta = jnp.where(ArAr == 0, 0.0, rAr / jnp.where(ArAr == 0, 1.0, ArAr))
+    y_ref[...] = zeta * Ar
+    z_ref[...] = -zeta * r
+    rp_ref[interior] = r - y_ref[...]
+    x_ref[...] = -z_ref[...]  # x = x0 - z with x0 = 0
+
+    def cond(carry):
+        i, conv = carry
+        return jnp.logical_and(~conv, i < maxiter)
+
+    def body(carry):
+        i, _ = carry
+        r = rp_ref[interior]
+        rr = jnp.sum(r * r)
+        res = jnp.sqrt(rr) / b_norm
+        trace_ref[...] += _onehot_row(i, tr_rows, 128, dt) * res
+        conv = res < tol
+
+        @pl.when(~conv)
+        def _():
+            y = y_ref[...]
+            Ar = _apply_stencil(coef_ref, rp_ref[...], stencil, g0p, g1, p1lo)
+            mu = jnp.sum(y * y)
+            nu = jnp.sum(y * Ar)
+            gamma = jnp.where(mu == 0, 0.0, nu / jnp.where(mu == 0, 1.0, mu))
+            s = Ar - gamma * y
+            rs = jnp.sum(r * s)
+            ss = jnp.sum(s * s)
+            zeta = jnp.where(ss == 0, 0.0, rs / jnp.where(ss == 0, 1.0, ss))
+            eta = -zeta * gamma
+            y_new = eta * y + zeta * Ar
+            z_new = eta * z_ref[...] - zeta * r
+            y_ref[...] = y_new
+            z_ref[...] = z_new
+            rp_ref[interior] = r - y_new
+            x_ref[...] = x_ref[...] - z_new
+
+        return (i + jnp.where(conv, 0, 1), conv)
+
+    i, conv = lax.while_loop(cond, body, (jnp.int32(1), jnp.zeros((), bool)))
+
+    # diverged exit writes the final residual (reference: v3/cpu/mrr.py:53-55)
+    r = rp_ref[interior]
+    final_res = jnp.sqrt(jnp.sum(r * r)) / b_norm
+
+    @pl.when(~conv)
+    def _():
+        trace_ref[...] += _onehot_row(i, tr_rows, 128, dt) * final_res
+
+    stats_ref[0] = i
+    stats_ref[1] = conv.astype(jnp.int32)
+
+
+def _cg_fused_kernel(
+    scal_ref,  # SMEM (2,): [tol, b_norm]
+    coef_ref,
+    b_ref,
+    x_ref,
+    trace_ref,
+    stats_ref,
+    pp_ref,  # scratch: padded search direction p
+    r_ref,  # scratch: residual (interior shape)
+    *,
+    stencil,
+    g0p,
+    g1,
+    p1lo,
+    maxiter,
+    tr_rows,
+):
+    tol = scal_ref[0]
+    b_norm = scal_ref[1]
+    dt = b_ref.dtype
+    interior = (slice(_H, _H + g0p), slice(p1lo, p1lo + g1))
+
+    # r0 = p0 = b (x0 = 0 after the wrapper's shift)
+    pp_ref[...] = jnp.zeros(pp_ref.shape, dt)
+    pp_ref[interior] = b_ref[...]
+    r_ref[...] = b_ref[...]
+    x_ref[...] = jnp.zeros(x_ref.shape, dt)
+    trace_ref[...] = jnp.zeros(trace_ref.shape, dt)
+    gamma0 = jnp.sum(b_ref[...] * b_ref[...])
+
+    def cond(carry):
+        i, conv, _gamma = carry
+        return jnp.logical_and(~conv, i < maxiter)
+
+    def body(carry):
+        i, _, gamma = carry
+        res = jnp.sqrt(gamma) / b_norm
+        trace_ref[...] += _onehot_row(i, tr_rows, 128, dt) * res
+        conv = res < tol
+
+        def step(_):
+            v = _apply_stencil(coef_ref, pp_ref[...], stencil, g0p, g1, p1lo)
+            p = pp_ref[interior]
+            sigma = jnp.sum(p * v)
+            alpha = jnp.where(
+                sigma == 0, 0.0, gamma / jnp.where(sigma == 0, 1.0, sigma)
+            )
+            x_ref[...] += alpha * p
+            r_new = r_ref[...] - alpha * v
+            r_ref[...] = r_new
+            gamma_new = jnp.sum(r_new * r_new)
+            beta = jnp.where(
+                gamma == 0, 0.0, gamma_new / jnp.where(gamma == 0, 1.0, gamma)
+            )
+            pp_ref[interior] = r_new + beta * p
+            return gamma_new
+
+        gamma = lax.cond(conv, lambda _: gamma, step, None)
+        return (i + jnp.where(conv, 0, 1), conv, gamma)
+
+    i, conv, gamma = lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.zeros((), bool), gamma0)
+    )
+
+    final_res = jnp.sqrt(gamma) / b_norm
+
+    @pl.when(~conv)
+    def _():
+        trace_ref[...] += _onehot_row(i, tr_rows, 128, dt) * final_res
+
+    stats_ref[0] = i
+    stats_ref[1] = conv.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("stencil", "grid", "maxiter", "interpret")
+)
+def fused_cg_solve_2d(
+    coef,
+    b,
+    tol,
+    b_norm,
+    *,
+    stencil: Tuple[Tuple[int, int], ...],
+    grid: Tuple[int, int],
+    maxiter: int,
+    interpret: bool = False,
+):
+    """Whole CG solve in one kernel (reference numerics: v3/cpu/cg.py:19-40).
+
+    Returns (x_flat, trace, iters, conv)."""
+    g0, g1 = grid
+    p1lo = max(0, -min(d[1] for d in stencil))
+    p1hi = max(0, max(d[1] for d in stencil))
+    if max(abs(d[0]) for d in stencil) > _H:
+        raise ValueError("stencil row displacement exceeds kernel halo")
+    g0p = -(-g0 // _H) * _H
+
+    bg = jnp.pad(b.reshape(grid), ((0, g0p - g0), (0, 0)))
+    coef_p = (
+        jnp.pad(coef, ((0, 0), (0, g0p - g0), (0, 0))) if g0p != g0 else coef
+    )
+    tr_rows = -(-(maxiter + 1) // 128)
+    scal = jnp.stack([jnp.asarray(tol, bg.dtype), jnp.asarray(b_norm, bg.dtype)])
+
+    kernel = functools.partial(
+        _cg_fused_kernel,
+        stencil=stencil,
+        g0p=g0p,
+        g1=g1,
+        p1lo=p1lo,
+        maxiter=maxiter,
+        tr_rows=tr_rows,
+    )
+    x, trace, stats = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((g0p, g1), bg.dtype),
+            jax.ShapeDtypeStruct((tr_rows, 128), bg.dtype),
+            jax.ShapeDtypeStruct((2,), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((g0p + 2 * _H, g1 + p1lo + p1hi), bg.dtype),
+            pltpu.VMEM((g0p, g1), bg.dtype),
+        ],
+        interpret=interpret,
+    )(scal, coef_p, bg)
+
+    x_flat = x[:g0].reshape(-1)
+    trace_flat = trace.reshape(-1)[: maxiter + 1]
+    return x_flat, trace_flat, stats[0], stats[1].astype(bool)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("stencil", "grid", "maxiter", "interpret")
+)
+def fused_mrr_solve_2d(
+    coef,
+    b,
+    tol,
+    b_norm,
+    *,
+    stencil: Tuple[Tuple[int, int], ...],
+    grid: Tuple[int, int],
+    maxiter: int,
+    interpret: bool = False,
+):
+    """Whole MrR solve in one kernel.  Returns (x_flat, trace, iters, conv)."""
+    g0, g1 = grid
+    p1lo = max(0, -min(d[1] for d in stencil))
+    p1hi = max(0, max(d[1] for d in stencil))
+    if max(abs(d[0]) for d in stencil) > _H:
+        raise ValueError("stencil row displacement exceeds kernel halo")
+    g0p = -(-g0 // _H) * _H
+
+    bg = jnp.pad(b.reshape(grid), ((0, g0p - g0), (0, 0)))
+    coef_p = (
+        jnp.pad(coef, ((0, 0), (0, g0p - g0), (0, 0))) if g0p != g0 else coef
+    )
+    tr_rows = -(-(maxiter + 1) // 128)
+    scal = jnp.stack([jnp.asarray(tol, bg.dtype), jnp.asarray(b_norm, bg.dtype)])
+
+    kernel = functools.partial(
+        _mrr_fused_kernel,
+        stencil=stencil,
+        g0p=g0p,
+        g1=g1,
+        p1lo=p1lo,
+        maxiter=maxiter,
+        tr_rows=tr_rows,
+    )
+    x, trace, stats = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((g0p, g1), bg.dtype),
+            jax.ShapeDtypeStruct((tr_rows, 128), bg.dtype),
+            jax.ShapeDtypeStruct((2,), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((g0p + 2 * _H, g1 + p1lo + p1hi), bg.dtype),
+            pltpu.VMEM((g0p, g1), bg.dtype),
+            pltpu.VMEM((g0p, g1), bg.dtype),
+        ],
+        interpret=interpret,
+    )(scal, coef_p, bg)
+
+    x_flat = x[:g0].reshape(-1)
+    trace_flat = trace.reshape(-1)[: maxiter + 1]
+    return x_flat, trace_flat, stats[0], stats[1].astype(bool)

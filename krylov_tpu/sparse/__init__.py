@@ -6,7 +6,7 @@ from krylov_tpu.sparse.formats import (
     StencilMatrix,
     as_operator,
 )
-from krylov_tpu.sparse import convert, fixtures
+from krylov_tpu.sparse import convert, fixtures, io
 
 __all__ = [
     "DenseMatrix",
@@ -17,4 +17,5 @@ __all__ = [
     "as_operator",
     "convert",
     "fixtures",
+    "io",
 ]
