@@ -105,11 +105,20 @@ def main():
         times.append(time.perf_counter() - t0)
     tpu_time = min(times)
 
-    _stage("timing solve() api (incl. host transfers)")
-    x, info = krylov_tpu.solve(A, b, method="mrr", tol=TOL, maxiter=MAXITER)
-    t0 = time.perf_counter()
-    x, info = krylov_tpu.solve(A, b, method="mrr", tol=TOL, maxiter=MAXITER)
-    solve_api_time = time.perf_counter() - t0
+    # Result stats via small transfers only (scalars + the 12 KB trace);
+    # materializing the 1 MB solution to host goes through the dev-tunnel
+    # relay which can stall for minutes on the first large transfer.
+    iters = int(res.iterations)
+    converged = bool(res.converged)
+    final_residual = float(res.residual_trace[iters])
+
+    solve_api_time = None
+    if time.perf_counter() - _T_START < 120.0:
+        _stage("timing solve() api (incl. host transfers)")
+        krylov_tpu.solve(A, b, method="mrr", tol=TOL, maxiter=MAXITER)
+        t0 = time.perf_counter()
+        krylov_tpu.solve(A, b, method="mrr", tol=TOL, maxiter=MAXITER)
+        solve_api_time = time.perf_counter() - t0
 
     # --- NumPy/SciPy baseline (reference semantics, float64).
     import scipy.sparse as sp
@@ -136,13 +145,14 @@ def main():
     extra = {
         "backend": jax.default_backend(),
         "dtype": str(np.dtype(dtype)),
-        "converged": bool(info["converged"]),
-        "iterations": int(info["iterations"]),
-        "final_residual": float(info["residual"][-1]),
-        "solve_api_incl_host_transfer_s": round(solve_api_time, 6),
+        "converged": converged,
+        "iterations": iters,
+        "final_residual": final_residual,
         "baseline_numpy_time_s": round(base_time, 6),
         "baseline_iterations": int(base_iters),
     }
+    if solve_api_time is not None:
+        extra["solve_api_incl_host_transfer_s"] = round(solve_api_time, 6)
 
     # --- Optional SpMV microbenchmark (separate jit graph; skipped when the
     # remote compile service has already eaten the budget).
