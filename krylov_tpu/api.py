@@ -284,6 +284,55 @@ def solve(
     return np.asarray(result.x), info
 
 
+def solve_batched(
+    A,
+    B,
+    method: str = "cg",
+    X0=None,
+    tol: float = 1e-5,
+    maxiter: Optional[int] = None,
+    k: int = 0,
+    scalar_dtype=None,
+):
+    """Solve ``A x_i = b_i`` for a whole batch of right-hand sides at once.
+
+    ``B`` is (batch, N); returns the on-device batched
+    :class:`~krylov_tpu.solvers.SolveResult` (``x`` is (batch, N), traces are
+    (batch, maxiter+1), ...).  The batch runs as ONE ``vmap``-ed jitted
+    while-loop — each system keeps its own convergence point (converged
+    members freeze while the rest iterate).  A capability the reference has
+    no analog for: its host-side loops can only solve one system at a time
+    (reference: v3/cpu/cg.py:19).
+    """
+    A = as_operator(A)
+    B = jnp.asarray(B, dtype=A.dtype)
+    if B.ndim != 2 or B.shape[1] != A.shape[0]:
+        raise ValueError(f"B must be (batch, N={A.shape[0]}), got {B.shape}")
+    n = B.shape[1]
+    if maxiter is None:
+        maxiter = n
+    X0 = (
+        jnp.zeros_like(B)
+        if X0 is None
+        else jnp.asarray(X0, dtype=A.dtype)
+    )
+    ctx = Context(axis=None, scalar_dtype=scalar_dtype)
+    return _run_batched(A, B, X0, jnp.asarray(tol), method, maxiter, k, ctx)
+
+
+@partial(jax.jit, static_argnames=("method", "maxiter", "k", "ctx"))
+def _run_batched(A, B, X0, tol, method, maxiter, k, ctx):
+    kernel = _get_kernel(method)
+    kwargs = dict(tol=tol, maxiter=maxiter, ctx=ctx)
+    if method in _KSKIP_METHODS:
+        kwargs["k"] = k
+
+    def one(b, x0):
+        return kernel(A, b, x0, **kwargs)
+
+    return jax.vmap(one)(B, X0)
+
+
 def _scipy_style(method):
     def f(
         A,

@@ -70,6 +70,32 @@ def test_adaptive_matches_kskipmrr_when_no_rollback():
     np.testing.assert_allclose(ia["residual"][:m], ik["residual"][:m], rtol=1e-8)
 
 
+def test_adaptive_rescues_float32():
+    """TPU-relevant: in float32 (the TPU-native dtype) plain k-skip MrR at
+    k=4 diverges on a cond~1e4 Laplacian while the adaptive variant's
+    k-decrement recovers convergence — the practical reason this solver is
+    the flagship for f32 TPU deployments."""
+    import jax.numpy as jnp
+
+    A = laplace2d(100, dtype=np.float32)
+    b = (
+        np.random.default_rng(0)
+        .standard_normal(A.shape[0])
+        .astype(np.float32)
+    )
+    _, plain = krylov_tpu.solve(
+        A, b, method="kskipmrr", k=4, tol=1e-5, maxiter=2000
+    )
+    _, adapt = krylov_tpu.solve(
+        A, b, method="adaptivekskipmrr", k=4, tol=1e-5, maxiter=2000
+    )
+    assert adapt["converged"]
+    # plain either diverges or needs far more updates than the adaptive run
+    assert (not plain["converged"]) or (
+        plain["iterations"] > 2 * adapt["iterations"]
+    )
+
+
 def test_adaptive_k1_stays():
     """k floor is 1 (reference: v3/cpu/adaptivekskipmrr.py:63-65)."""
     A = poisson1d(60)
