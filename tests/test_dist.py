@@ -96,6 +96,22 @@ def test_halo_strategy_selected(mesh):
     assert op.local_n == 32
 
 
+@pytest.mark.parametrize("precond_name", ["jacobi", "chebyshev"])
+def test_sharded_preconditioned(precond_name, mesh):
+    """Preconditioners shard with the operator: Jacobi's diagonal scaling
+    row-partitions; Chebyshev's inner operator runs the same halo SpMV."""
+    from krylov_tpu import precond
+
+    A = laplace2d(16)
+    b = np.random.default_rng(0).standard_normal(A.shape[0])
+    M = precond.jacobi(A) if precond_name == "jacobi" else precond.chebyshev(A, degree=4)
+    x1, i1 = krylov_tpu.solve(A, b, method="pcg", M=M, tol=1e-9)
+    x8, i8 = krylov_tpu.solve(A, b, method="pcg", M=M, tol=1e-9, mesh=mesh)
+    assert i1["converged"] and i8["converged"]
+    assert i1["iterations"] == i8["iterations"]
+    np.testing.assert_allclose(x8, x1, rtol=1e-6, atol=1e-9)
+
+
 def test_halo_matvec_matches_dense(mesh):
     """Sharded halo SpMV == dense matvec, standalone."""
     import jax.numpy as jnp
