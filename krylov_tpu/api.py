@@ -110,6 +110,7 @@ def _fused_eligible(A, method, M, scalar_dtype, fused) -> bool:
         return False
     ok = (
         jax.default_backend() == "tpu"  # Mosaic path; CPU uses lax.while_loop
+        and np.dtype(A.dtype).itemsize <= 4  # Mosaic scalars are 32-bit
         and method in ("cg", "mrr")
         and M is None
         and scalar_dtype in (None, A.dtype)
@@ -211,6 +212,7 @@ def solve(
     mesh=None,
     scalar_dtype=None,
     fused=None,
+    refine: int = 0,
     verbose: bool = False,
 ):
     """Solve the SPD system ``A x = b``; returns ``(x, info)``.
@@ -225,6 +227,15 @@ def solve(
         row-partitioned under ``shard_map``.
       scalar_dtype: dtype for inner products / scalar recurrences (e.g.
         ``jnp.float64`` with float32 vectors on TPU).
+      refine: residual-replacement restarts.  The solvers (like the
+        reference, v3/cpu/cg.py:21-24) converge on the RECURRED residual,
+        which drifts from the true residual ``||b - A x||/||b||`` by
+        10-20x in float32 on long solves.  With ``refine=m > 0``, after
+        convergence the true residual is computed and, while it is still
+        above ``tol``, the solve is restarted warm from the current iterate
+        (fresh ``r = b - A x``), at most ``m`` times.  ``info`` then carries
+        ``true_residual`` and ``refinements``.  Default 0 preserves exact
+        reference semantics.
       verbose: print the reference-style banner (reference: v3/common.py:2-23).
     """
     in_dtype = getattr(A, "dtype", None)
@@ -273,6 +284,58 @@ def solve(
     elapsed = time.perf_counter() - t0
 
     info = build_info(result, elapsed)
+
+    if refine:
+        b64 = np.asarray(b, dtype=np.float64)
+        b_norm = np.linalg.norm(b64)
+
+        def _true_rel(x_dev):
+            x_h = jnp.asarray(np.asarray(x_dev), dtype=A.dtype)
+            r = b64 - np.asarray(A.matvec(x_h), dtype=np.float64)
+            return float(np.linalg.norm(r) / b_norm)
+
+        refinements = 0
+        for _ in range(refine):
+            true_rel = _true_rel(result.x)
+            if not np.isfinite(true_rel) or true_rel < tol:
+                break
+            t1 = time.perf_counter()
+            result = jax.block_until_ready(
+                solve_device(
+                    A,
+                    b,
+                    method=method,
+                    x0=result.x,
+                    tol=tol,
+                    maxiter=maxiter,
+                    k=k,
+                    M=M,
+                    mesh=mesh,
+                    scalar_dtype=scalar_dtype,
+                    fused=fused,
+                )
+            )
+            seg = build_info(result, time.perf_counter() - t1)
+            refinements += 1
+            info["time"] += seg["time"]
+            info["nosl"] = np.concatenate(
+                [info["nosl"], seg["nosl"][1:] + info["nosl"][-1]]
+            )
+            info["residual"] = np.concatenate(
+                [info["residual"], seg["residual"][1:]]
+            )
+            if "khistory" in info and "khistory" in seg:
+                info["khistory"] = np.concatenate(
+                    [info["khistory"], seg["khistory"][1:]]
+                )
+            if "final_k" in seg:
+                info["final_k"] = seg["final_k"]
+            info["iterations"] += seg["iterations"]
+            info["converged"] = seg["converged"]
+        info["true_residual"] = _true_rel(result.x)
+        info["refinements"] = refinements
+        elapsed = info["time"]
+
     if verbose:
         finish_banner(
             elapsed,

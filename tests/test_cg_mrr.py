@@ -1,5 +1,6 @@
 """CG / MrR solver correctness on analytic SPD fixtures."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import scipy.sparse as sp
@@ -115,3 +116,38 @@ def test_info_dict_contract():
     assert {"time", "nosl", "residual"} <= set(info)
     assert len(info["residual"]) == len(info["nosl"]) == info["iterations"] + 1
     assert np.all(np.diff(info["nosl"]) == 1)  # nosl[i] = i for CG
+
+
+def test_refine_residual_replacement():
+    """refine= restarts from the current iterate with a true residual until
+    ||b - A x||/||b|| < tol; recovers the float32 recurred-residual drift."""
+    A = laplace2d(64, dtype=np.float32)
+    n = A.shape[0]
+    rng = np.random.default_rng(7)
+    b = rng.standard_normal(n).astype(np.float32)
+
+    def true_rel(x):
+        return float(
+            np.linalg.norm(b - np.asarray(A.matvec(jnp.asarray(x, A.dtype))))
+            / np.linalg.norm(b)
+        )
+
+    tol = 1e-5
+    x_plain, info_plain = krylov_tpu.solve(A, b, method="cg", tol=tol)
+    x_ref, info_ref = krylov_tpu.solve(A, b, method="cg", tol=tol, refine=4)
+    assert info_ref["refinements"] >= 0
+    assert "true_residual" in info_ref
+    assert info_ref["true_residual"] <= true_rel(x_plain) + 1e-12
+    assert info_ref["true_residual"] < 10 * tol
+    # history bookkeeping stays consistent across the restarts
+    assert len(info_ref["residual"]) == len(info_ref["nosl"])
+    assert info_ref["iterations"] >= info_plain["iterations"]
+
+
+def test_refine_noop_when_converged_truly():
+    """In float64 the recurred residual is honest; refine must not restart."""
+    A = poisson1d(64)
+    b = np.ones(64)
+    x, info = krylov_tpu.solve(A, b, method="mrr", tol=1e-6, refine=3)
+    assert info["refinements"] == 0
+    assert info["true_residual"] < 1e-6
