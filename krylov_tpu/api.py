@@ -101,7 +101,7 @@ def _run_kernel(A, b, x0, tol, method, maxiter, k, ctx, M=None):
     return kernel(A, b, x0, **kwargs)
 
 
-def _fused_eligible(A, method, M, scalar_dtype, fused) -> bool:
+def _fused_eligible(A, method, M, scalar_dtype, fused, maxiter) -> bool:
     """Auto-select the fused whole-solve-in-one-kernel path
     (:mod:`krylov_tpu.kernels.fused`) when it applies."""
     from krylov_tpu.sparse.formats import StencilMatrix
@@ -116,16 +116,22 @@ def _fused_eligible(A, method, M, scalar_dtype, fused) -> bool:
         and scalar_dtype in (None, A.dtype)
         and isinstance(A, StencilMatrix)
         and len(A.grid) == 2
-        # whole working set (coefficients + ~5 vectors) must fit VMEM
-        and (len(A.stencil) + 5) * A.shape[0] * np.dtype(A.dtype).itemsize
-        <= 13 * 1024 * 1024
+        # Whole working set — ns coefficient grids + b/x/state vectors +
+        # compiler temporaries (~3 more grid-sized values during the stencil
+        # accumulation) plus Mosaic lane/sublane padding — must fit the
+        # chip's 128 MB VMEM (probed).  78 MB on the nominal count was
+        # validated on-chip: N=1.44M compiles/runs, N=1.96M OOMs.
+        and (len(A.stencil) + 8) * A.shape[0] * np.dtype(A.dtype).itemsize
+        <= 78 * 1024 * 1024
         and max(abs(d[0]) for d in A.stencil) <= 8
+        # the residual trace is an SMEM buffer: one f32 per iteration
+        and maxiter <= 65536
     )
     if fused is True and not ok:
         raise ValueError(
             "fused=True requires the TPU backend and a 2-D StencilMatrix "
-            "system fitting VMEM with method cg/mrr and no "
-            "preconditioner/mesh"
+            "system fitting VMEM with method cg/mrr, maxiter <= 65536, and "
+            "no preconditioner/mesh"
         )
     return ok
 
@@ -187,7 +193,7 @@ def solve_device(
         if x0 is None
         else jnp.asarray(x0, dtype=A.dtype)
     )
-    if mesh is None and _fused_eligible(A, method, M, scalar_dtype, fused):
+    if mesh is None and _fused_eligible(A, method, M, scalar_dtype, fused, maxiter):
         return _run_fused(A, b, x0, tol, method, maxiter)
     if mesh is None:
         ctx = Context(axis=None, scalar_dtype=scalar_dtype)
@@ -227,15 +233,17 @@ def solve(
         row-partitioned under ``shard_map``.
       scalar_dtype: dtype for inner products / scalar recurrences (e.g.
         ``jnp.float64`` with float32 vectors on TPU).
-      refine: residual-replacement restarts.  The solvers (like the
-        reference, v3/cpu/cg.py:21-24) converge on the RECURRED residual,
-        which drifts from the true residual ``||b - A x||/||b||`` by
-        10-20x in float32 on long solves.  With ``refine=m > 0``, after
-        convergence the true residual is computed and, while it is still
-        above ``tol``, the solve is restarted warm from the current iterate
-        (fresh ``r = b - A x``), at most ``m`` times.  ``info`` then carries
+      refine: mixed-precision iterative-refinement steps.  The solvers
+        (like the reference, v3/cpu/cg.py:21-24) converge on the RECURRED
+        residual in working precision, so in float32 the true residual
+        ``||b - A x||/||b||`` floors at ~``eps_f32 * kappa(A)``.  With
+        ``refine=m > 0``, while the float64 true residual is above ``tol``
+        (checked at most ``m`` times) the defect ``r = b - A x`` is formed
+        in float64 on the host, the correction ``A d = r`` is solved in
+        working precision on device, and ``x += d`` accumulates in float64;
+        the returned ``x`` is then float64 and ``info`` carries
         ``true_residual`` and ``refinements``.  Default 0 preserves exact
-        reference semantics.
+        reference semantics (and the working-precision return dtype).
       verbose: print the reference-style banner (reference: v3/common.py:2-23).
     """
     in_dtype = getattr(A, "dtype", None)
@@ -285,28 +293,44 @@ def solve(
 
     info = build_info(result, elapsed)
 
+    x_out = None
     if refine:
+        # Mixed-precision iterative refinement (defect correction): the
+        # solvers converge on the RECURRED residual in working precision
+        # (f32 on TPU), so both the recurrence drift and the f32
+        # representation of x floor the true residual at ~eps_f32 * kappa.
+        # Each refinement step computes the defect r = b - A x in float64 on
+        # the host (one cheap pass over the operator), solves the correction
+        # system ``A d = r`` in working precision on device, and accumulates
+        # ``x += d`` in float64.  Per step the true residual contracts by
+        # the correction solve's achieved accuracy, so a couple of steps
+        # reach far below the f32 floor.
+        from krylov_tpu.sparse.convert import host_matvec64
+
         b64 = np.asarray(b, dtype=np.float64)
         b_norm = np.linalg.norm(b64)
-
-        def _true_rel(x_dev):
-            x_h = jnp.asarray(np.asarray(x_dev), dtype=A.dtype)
-            r = b64 - np.asarray(A.matvec(x_h), dtype=np.float64)
-            return float(np.linalg.norm(r) / b_norm)
+        x64 = np.asarray(result.x, dtype=np.float64)
 
         refinements = 0
+        true_rel = float(
+            np.linalg.norm(b64 - host_matvec64(A, x64)) / b_norm
+        )
         for _ in range(refine):
-            true_rel = _true_rel(result.x)
             if not np.isfinite(true_rel) or true_rel < tol:
                 break
+            r64 = b64 - host_matvec64(A, x64)
+            r_norm = np.linalg.norm(r64)
+            # ask the correction solve for just enough: tol on the ORIGINAL
+            # system means tol * b_norm / r_norm relative to the defect
+            inner_tol = float(np.clip(tol * b_norm / r_norm, 1e-7, 0.1))
             t1 = time.perf_counter()
             result = jax.block_until_ready(
                 solve_device(
                     A,
-                    b,
+                    r64.astype(A.dtype),
                     method=method,
-                    x0=result.x,
-                    tol=tol,
+                    x0=None,
+                    tol=inner_tol,
                     maxiter=maxiter,
                     k=k,
                     M=M,
@@ -316,13 +340,19 @@ def solve(
                 )
             )
             seg = build_info(result, time.perf_counter() - t1)
+            x64 = x64 + np.asarray(result.x, dtype=np.float64)
             refinements += 1
+            true_rel = float(
+                np.linalg.norm(b64 - host_matvec64(A, x64)) / b_norm
+            )
             info["time"] += seg["time"]
             info["nosl"] = np.concatenate(
                 [info["nosl"], seg["nosl"][1:] + info["nosl"][-1]]
             )
+            # the defect solve's residual history, rescaled to the original
+            # system (its b is the defect r)
             info["residual"] = np.concatenate(
-                [info["residual"], seg["residual"][1:]]
+                [info["residual"], seg["residual"][1:] * (r_norm / b_norm)]
             )
             if "khistory" in info and "khistory" in seg:
                 info["khistory"] = np.concatenate(
@@ -331,9 +361,10 @@ def solve(
             if "final_k" in seg:
                 info["final_k"] = seg["final_k"]
             info["iterations"] += seg["iterations"]
-            info["converged"] = seg["converged"]
-        info["true_residual"] = _true_rel(result.x)
+        info["converged"] = bool(true_rel < tol) or info["converged"]
+        info["true_residual"] = true_rel
         info["refinements"] = refinements
+        x_out = x64  # float64: casting back to f32 would re-floor ||b-Ax||
         elapsed = info["time"]
 
     if verbose:
@@ -344,7 +375,7 @@ def solve(
             info["residual"][-1],
             info.get("final_k"),
         )
-    return np.asarray(result.x), info
+    return (np.asarray(result.x) if x_out is None else x_out), info
 
 
 def solve_batched(

@@ -12,14 +12,16 @@ residual trace — runs on-core.  This is the TPU answer to the reference's
 CUDA-side iteration loops (reference: v3/gpu/mrr.py:32-52, which still
 bounces control to the host every iteration).
 
-Scope: 2-D stencil operators whose working set fits VMEM (~<=1.5M rows
-f32); the generic ``lax.while_loop`` path in :mod:`krylov_tpu.solvers`
-covers everything else.  x0 is handled by the wrapper via the shift
+Scope: 2-D stencil operators whose working set fits VMEM (128 MB on the
+target chip, measured by probe — ~2M rows f32 with full coefficient grids);
+the generic ``lax.while_loop`` path in :mod:`krylov_tpu.solvers` covers
+everything else.  x0 is handled by the wrapper via the shift
 ``A (x0 + dx) = b  =>  A dx = b - A x0`` (identical residual history, since
 ``r0 = b - A x0`` either way).
 
-The residual trace is accumulated one-hot into a (rows, 128) VMEM buffer —
-a dynamic-index scalar store would be an unsupported/slow sublane op.
+The residual trace lives in SMEM (one dynamic scalar store per iteration —
+O(1), verified supported by Mosaic), so the trace costs nothing even at
+large ``maxiter``.
 """
 
 from __future__ import annotations
@@ -46,19 +48,12 @@ def _apply_stencil(coef_ref, rp, stencil, g0p, g1, p1):
     return acc
 
 
-def _onehot_row(i, rows, cols, dtype):
-    r_ids = lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
-    c_ids = lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
-    flat = r_ids * cols + c_ids
-    return (flat == i).astype(dtype)
-
-
 def _mrr_fused_kernel(
     scal_ref,  # SMEM (2,): [tol, b_norm]
     coef_ref,  # VMEM (ns, g0p, g1)
     b_ref,  # VMEM (g0p, g1)  (zero in padded rows)
     x_ref,  # out VMEM (g0p, g1)
-    trace_ref,  # out VMEM (tr, 128)
+    trace_ref,  # out SMEM (maxiter + 1,)
     stats_ref,  # out SMEM (2,): [iters, converged]
     rp_ref,  # scratch VMEM (g0p + 2H, g1 + p1lo + p1hi) padded residual
     y_ref,
@@ -69,7 +64,6 @@ def _mrr_fused_kernel(
     g1,
     p1lo,
     maxiter,
-    tr_rows,
 ):
     tol = scal_ref[0]
     b_norm = scal_ref[1]
@@ -82,7 +76,7 @@ def _mrr_fused_kernel(
     r = b_ref[...]
     rr0 = jnp.sum(r * r)
     res0 = jnp.sqrt(rr0) / b_norm
-    trace_ref[...] = _onehot_row(0, tr_rows, 128, dt) * res0
+    trace_ref[0] = res0
 
     # init half-iteration (reference: v3/cpu/mrr.py:15-25)
     Ar = _apply_stencil(coef_ref, rp_ref[...], stencil, g0p, g1, p1lo)
@@ -103,7 +97,7 @@ def _mrr_fused_kernel(
         r = rp_ref[interior]
         rr = jnp.sum(r * r)
         res = jnp.sqrt(rr) / b_norm
-        trace_ref[...] += _onehot_row(i, tr_rows, 128, dt) * res
+        trace_ref[i] = res
         conv = res < tol
 
         @pl.when(~conv)
@@ -135,7 +129,7 @@ def _mrr_fused_kernel(
 
     @pl.when(~conv)
     def _():
-        trace_ref[...] += _onehot_row(i, tr_rows, 128, dt) * final_res
+        trace_ref[i] = final_res
 
     stats_ref[0] = i
     stats_ref[1] = conv.astype(jnp.int32)
@@ -146,7 +140,7 @@ def _cg_fused_kernel(
     coef_ref,
     b_ref,
     x_ref,
-    trace_ref,
+    trace_ref,  # out SMEM (maxiter + 1,)
     stats_ref,
     pp_ref,  # scratch: padded search direction p
     r_ref,  # scratch: residual (interior shape)
@@ -156,7 +150,6 @@ def _cg_fused_kernel(
     g1,
     p1lo,
     maxiter,
-    tr_rows,
 ):
     tol = scal_ref[0]
     b_norm = scal_ref[1]
@@ -168,7 +161,6 @@ def _cg_fused_kernel(
     pp_ref[interior] = b_ref[...]
     r_ref[...] = b_ref[...]
     x_ref[...] = jnp.zeros(x_ref.shape, dt)
-    trace_ref[...] = jnp.zeros(trace_ref.shape, dt)
     gamma0 = jnp.sum(b_ref[...] * b_ref[...])
 
     def cond(carry):
@@ -178,7 +170,7 @@ def _cg_fused_kernel(
     def body(carry):
         i, _, gamma = carry
         res = jnp.sqrt(gamma) / b_norm
-        trace_ref[...] += _onehot_row(i, tr_rows, 128, dt) * res
+        trace_ref[i] = res
         conv = res < tol
 
         def step(_):
@@ -209,7 +201,7 @@ def _cg_fused_kernel(
 
     @pl.when(~conv)
     def _():
-        trace_ref[...] += _onehot_row(i, tr_rows, 128, dt) * final_res
+        trace_ref[i] = final_res
 
     stats_ref[0] = i
     stats_ref[1] = conv.astype(jnp.int32)
@@ -243,7 +235,6 @@ def fused_cg_solve_2d(
     coef_p = (
         jnp.pad(coef, ((0, 0), (0, g0p - g0), (0, 0))) if g0p != g0 else coef
     )
-    tr_rows = -(-(maxiter + 1) // 128)
     scal = jnp.stack([jnp.asarray(tol, bg.dtype), jnp.asarray(b_norm, bg.dtype)])
 
     kernel = functools.partial(
@@ -253,7 +244,6 @@ def fused_cg_solve_2d(
         g1=g1,
         p1lo=p1lo,
         maxiter=maxiter,
-        tr_rows=tr_rows,
     )
     x, trace, stats = pl.pallas_call(
         kernel,
@@ -265,24 +255,26 @@ def fused_cg_solve_2d(
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((g0p, g1), bg.dtype),
-            jax.ShapeDtypeStruct((tr_rows, 128), bg.dtype),
+            jax.ShapeDtypeStruct((maxiter + 1,), bg.dtype),
             jax.ShapeDtypeStruct((2,), jnp.int32),
         ),
         scratch_shapes=[
             pltpu.VMEM((g0p + 2 * _H, g1 + p1lo + p1hi), bg.dtype),
             pltpu.VMEM((g0p, g1), bg.dtype),
         ],
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
     )(scal, coef_p, bg)
 
     x_flat = x[:g0].reshape(-1)
-    trace_flat = trace.reshape(-1)[: maxiter + 1]
-    return x_flat, trace_flat, stats[0], stats[1].astype(bool)
+    return x_flat, trace, stats[0], stats[1].astype(bool)
 
 
 @functools.partial(
@@ -311,7 +303,6 @@ def fused_mrr_solve_2d(
     coef_p = (
         jnp.pad(coef, ((0, 0), (0, g0p - g0), (0, 0))) if g0p != g0 else coef
     )
-    tr_rows = -(-(maxiter + 1) // 128)
     scal = jnp.stack([jnp.asarray(tol, bg.dtype), jnp.asarray(b_norm, bg.dtype)])
 
     kernel = functools.partial(
@@ -321,7 +312,6 @@ def fused_mrr_solve_2d(
         g1=g1,
         p1lo=p1lo,
         maxiter=maxiter,
-        tr_rows=tr_rows,
     )
     x, trace, stats = pl.pallas_call(
         kernel,
@@ -333,12 +323,12 @@ def fused_mrr_solve_2d(
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((g0p, g1), bg.dtype),
-            jax.ShapeDtypeStruct((tr_rows, 128), bg.dtype),
+            jax.ShapeDtypeStruct((maxiter + 1,), bg.dtype),
             jax.ShapeDtypeStruct((2,), jnp.int32),
         ),
         scratch_shapes=[
@@ -346,9 +336,11 @@ def fused_mrr_solve_2d(
             pltpu.VMEM((g0p, g1), bg.dtype),
             pltpu.VMEM((g0p, g1), bg.dtype),
         ],
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
     )(scal, coef_p, bg)
 
     x_flat = x[:g0].reshape(-1)
-    trace_flat = trace.reshape(-1)[: maxiter + 1]
-    return x_flat, trace_flat, stats[0], stats[1].astype(bool)
+    return x_flat, trace, stats[0], stats[1].astype(bool)

@@ -162,3 +162,34 @@ def pad_to_multiple(A: Operator, b: np.ndarray, multiple: int) -> Tuple[Operator
         new[range(n, n + pad), range(n, n + pad)] = 1.0
         return DenseMatrix(jnp.asarray(new)), b_p, n
     raise TypeError(f"cannot pad operator of type {type(A)}")
+
+
+def host_matvec64(A, x) -> np.ndarray:
+    """``A @ x`` evaluated in float64 NumPy on the host.
+
+    Used by :func:`krylov_tpu.solve`'s ``refine=`` path (mixed-precision
+    iterative refinement): the residual ``b - A x`` must be formed in higher
+    precision than the device dtype for a restart to see below the float32
+    representation floor.  Cheap: one pass over the operator per restart.
+    """
+    from krylov_tpu.sparse.formats import StencilMatrix
+
+    x = np.asarray(x, dtype=np.float64)
+    if isinstance(A, StencilMatrix):
+        A = A.to_dia()
+    if isinstance(A, DiaMatrix):
+        n = A.shape[0]
+        data = np.asarray(A.data, dtype=np.float64)
+        y = np.zeros(n)
+        for d, off in enumerate(A.offsets):
+            lo, hi = max(0, -off), min(n, n - off)
+            if hi > lo:
+                y[lo:hi] += data[d, lo:hi] * x[lo + off : hi + off]
+        return y
+    if isinstance(A, EllMatrix):
+        data = np.asarray(A.data, dtype=np.float64)
+        idx = np.asarray(A.indices)
+        return (data * x[idx]).sum(axis=-1)
+    if isinstance(A, DenseMatrix):
+        return np.asarray(A.data, dtype=np.float64) @ x
+    raise TypeError(f"no host matvec for {type(A).__name__}")

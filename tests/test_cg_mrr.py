@@ -118,18 +118,22 @@ def test_info_dict_contract():
     assert np.all(np.diff(info["nosl"]) == 1)  # nosl[i] = i for CG
 
 
-def test_refine_residual_replacement():
-    """refine= restarts from the current iterate with a true residual until
-    ||b - A x||/||b|| < tol; recovers the float32 recurred-residual drift."""
+def test_refine_mixed_precision_defect_correction():
+    """refine= forms the defect in float64, solves the correction in working
+    precision, and accumulates x in float64 — the true residual must reach
+    tol even when the f32 recurred residual drifted."""
+    from krylov_tpu.sparse.convert import host_matvec64
+
     A = laplace2d(64, dtype=np.float32)
     n = A.shape[0]
     rng = np.random.default_rng(7)
     b = rng.standard_normal(n).astype(np.float32)
+    b64 = b.astype(np.float64)
 
-    def true_rel(x):
+    def true_rel64(x):
         return float(
-            np.linalg.norm(b - np.asarray(A.matvec(jnp.asarray(x, A.dtype))))
-            / np.linalg.norm(b)
+            np.linalg.norm(b64 - host_matvec64(A, np.asarray(x, np.float64)))
+            / np.linalg.norm(b64)
         )
 
     tol = 1e-5
@@ -137,9 +141,13 @@ def test_refine_residual_replacement():
     x_ref, info_ref = krylov_tpu.solve(A, b, method="cg", tol=tol, refine=4)
     assert info_ref["refinements"] >= 0
     assert "true_residual" in info_ref
-    assert info_ref["true_residual"] <= true_rel(x_plain) + 1e-12
-    assert info_ref["true_residual"] < 10 * tol
-    # history bookkeeping stays consistent across the restarts
+    assert x_ref.dtype == np.float64
+    assert true_rel64(x_ref) <= true_rel64(x_plain) + 1e-12
+    # the whole point: the float64 true residual reaches tol
+    assert info_ref["true_residual"] < tol
+    assert abs(info_ref["true_residual"] - true_rel64(x_ref)) < 1e-10
+    assert info_ref["converged"]
+    # history bookkeeping stays consistent across the refinement solves
     assert len(info_ref["residual"]) == len(info_ref["nosl"])
     assert info_ref["iterations"] >= info_plain["iterations"]
 
