@@ -116,12 +116,15 @@ def _fused_eligible(A, method, M, scalar_dtype, fused, maxiter) -> bool:
         and scalar_dtype in (None, A.dtype)
         and isinstance(A, StencilMatrix)
         and len(A.grid) == 2
-        # Whole working set — ns coefficient grids + b/x/state vectors +
-        # compiler temporaries (~3 more grid-sized values during the stencil
-        # accumulation) plus Mosaic lane/sublane padding — must fit the
-        # chip's 128 MB VMEM (probed).  78 MB on the nominal count was
-        # validated on-chip: N=1.44M compiles/runs, N=1.96M OOMs.
-        and (len(A.stencil) + 8) * A.shape[0] * np.dtype(A.dtype).itemsize
+        # Whole working set — ns coefficient grids (zero for the
+        # constant-weight form, whose coefficients live in SMEM) + b/x/state
+        # vectors + compiler temporaries (~3 more grid-sized values during
+        # the stencil accumulation) plus Mosaic lane/sublane padding — must
+        # fit the chip's 128 MB VMEM (probed).  78 MB on the nominal count
+        # was validated on-chip: N=1.44M compiles/runs, N=1.96M OOMs.
+        and ((0 if A.is_constant else len(A.stencil)) + 8)
+        * A.shape[0]
+        * np.dtype(A.dtype).itemsize
         <= 78 * 1024 * 1024
         and max(abs(d[0]) for d in A.stencil) <= 8
         # the residual trace is an SMEM buffer: one f32 per iteration

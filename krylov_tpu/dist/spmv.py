@@ -168,6 +168,17 @@ def _stencil_halo_matvec(op: ShardedOperator, x_local, ctx):
     bot_halo = (
         lax.ppermute(xg[:hi0], ctx.axis, bwd) if hi0 > 0 else None
     )
+    if coef_local.ndim == 1:
+        # Constant-coefficient form: there are no stored boundary zeros to
+        # neutralize the ring wrap-around planes, so the global-edge devices
+        # must zero the halos they receive across the wrap.
+        idx = lax.axis_index(ctx.axis)
+        if top_halo is not None:
+            top_halo = jnp.where(idx == 0, jnp.zeros_like(top_halo), top_halo)
+        if bot_halo is not None:
+            bot_halo = jnp.where(
+                idx == op.n_devices - 1, jnp.zeros_like(bot_halo), bot_halo
+            )
 
     # Interior (no axis-0 displacement) terms first — overlap with halo.
     pads_rest = []
@@ -240,10 +251,14 @@ def shard_operator(A, n_devices: int, axis: str = "rows"):
                 strategy="halo",
                 grid=A.grid,
             )
-            # coef (nstencil, g0, ...) shards along the leading grid axis.
-            specs = dataclasses.replace(
-                op, arrays=(P(None, axis, *([None] * (len(A.grid) - 1))),)
+            # coef (nstencil, g0, ...) shards along the leading grid axis;
+            # constant (nstencil,) weights replicate to every device.
+            coef_spec = (
+                P(None)
+                if A.is_constant
+                else P(None, axis, *([None] * (len(A.grid) - 1)))
             )
+            specs = dataclasses.replace(op, arrays=(coef_spec,))
             return op, specs
         # Leading grid axis does not divide the mesh: fall back to the
         # generic flat-DIA halo/all-gather path.

@@ -38,13 +38,23 @@ from jax.experimental.pallas import tpu as pltpu
 _H = 8  # sublane-aligned row halo for the in-kernel stencil
 
 
-def _apply_stencil(coef_ref, rp, stencil, g0p, g1, p1):
-    """A @ r from the padded VMEM value ``rp`` via static shifted slices."""
+def _apply_stencil(coef_ref, rp, stencil, g0p, g1, p1, g0=None):
+    """A @ r from the padded VMEM value ``rp`` via static shifted slices.
+
+    ``coef_ref`` is either a (ns, g0p, g1) VMEM block of coefficient grids
+    or a (ns,) SMEM vector of constant weights.  The constant form has no
+    stored boundary zeros, so rows >= g0 (the sublane-alignment padding,
+    which would otherwise couple back into real rows on the next iteration)
+    are masked to zero when ``g0 < g0p``.
+    """
     acc = None
     for s, (d0, d1) in enumerate(stencil):
         block = rp[_H + d0 : _H + d0 + g0p, p1 + d1 : p1 + d1 + g1]
         term = coef_ref[s] * block
         acc = term if acc is None else acc + term
+    if g0 is not None and g0 != g0p:
+        rows = lax.broadcasted_iota(jnp.int32, (g0p, g1), 0)
+        acc = jnp.where(rows < g0, acc, jnp.zeros((), acc.dtype))
     return acc
 
 
@@ -64,6 +74,7 @@ def _mrr_fused_kernel(
     g1,
     p1lo,
     maxiter,
+    g0=None,
 ):
     tol = scal_ref[0]
     b_norm = scal_ref[1]
@@ -79,7 +90,7 @@ def _mrr_fused_kernel(
     trace_ref[0] = res0
 
     # init half-iteration (reference: v3/cpu/mrr.py:15-25)
-    Ar = _apply_stencil(coef_ref, rp_ref[...], stencil, g0p, g1, p1lo)
+    Ar = _apply_stencil(coef_ref, rp_ref[...], stencil, g0p, g1, p1lo, g0)
     rAr = jnp.sum(r * Ar)
     ArAr = jnp.sum(Ar * Ar)
     zeta = jnp.where(ArAr == 0, 0.0, rAr / jnp.where(ArAr == 0, 1.0, ArAr))
@@ -103,7 +114,9 @@ def _mrr_fused_kernel(
         @pl.when(~conv)
         def _():
             y = y_ref[...]
-            Ar = _apply_stencil(coef_ref, rp_ref[...], stencil, g0p, g1, p1lo)
+            Ar = _apply_stencil(
+                coef_ref, rp_ref[...], stencil, g0p, g1, p1lo, g0
+            )
             mu = jnp.sum(y * y)
             nu = jnp.sum(y * Ar)
             gamma = jnp.where(mu == 0, 0.0, nu / jnp.where(mu == 0, 1.0, mu))
@@ -150,6 +163,7 @@ def _cg_fused_kernel(
     g1,
     p1lo,
     maxiter,
+    g0=None,
 ):
     tol = scal_ref[0]
     b_norm = scal_ref[1]
@@ -174,7 +188,9 @@ def _cg_fused_kernel(
         conv = res < tol
 
         def step(_):
-            v = _apply_stencil(coef_ref, pp_ref[...], stencil, g0p, g1, p1lo)
+            v = _apply_stencil(
+                coef_ref, pp_ref[...], stencil, g0p, g1, p1lo, g0
+            )
             p = pp_ref[interior]
             sigma = jnp.sum(p * v)
             alpha = jnp.where(
@@ -232,9 +248,19 @@ def fused_cg_solve_2d(
     g0p = -(-g0 // _H) * _H
 
     bg = jnp.pad(b.reshape(grid), ((0, g0p - g0), (0, 0)))
-    coef_p = (
-        jnp.pad(coef, ((0, 0), (0, g0p - g0), (0, 0))) if g0p != g0 else coef
-    )
+    const = coef.ndim == 1
+    if const:
+        # Constant per-term weights ride in SMEM; the kernel masks the
+        # sublane-alignment padding rows (see _apply_stencil).
+        coef_p = coef
+        coef_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    else:
+        coef_p = (
+            jnp.pad(coef, ((0, 0), (0, g0p - g0), (0, 0)))
+            if g0p != g0
+            else coef
+        )
+        coef_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     scal = jnp.stack([jnp.asarray(tol, bg.dtype), jnp.asarray(b_norm, bg.dtype)])
 
     kernel = functools.partial(
@@ -244,13 +270,14 @@ def fused_cg_solve_2d(
         g1=g1,
         p1lo=p1lo,
         maxiter=maxiter,
+        g0=g0 if const else None,
     )
     x, trace, stats = pl.pallas_call(
         kernel,
         grid=(),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            coef_spec,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -300,9 +327,17 @@ def fused_mrr_solve_2d(
     g0p = -(-g0 // _H) * _H
 
     bg = jnp.pad(b.reshape(grid), ((0, g0p - g0), (0, 0)))
-    coef_p = (
-        jnp.pad(coef, ((0, 0), (0, g0p - g0), (0, 0))) if g0p != g0 else coef
-    )
+    const = coef.ndim == 1
+    if const:
+        coef_p = coef
+        coef_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    else:
+        coef_p = (
+            jnp.pad(coef, ((0, 0), (0, g0p - g0), (0, 0)))
+            if g0p != g0
+            else coef
+        )
+        coef_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     scal = jnp.stack([jnp.asarray(tol, bg.dtype), jnp.asarray(b_norm, bg.dtype)])
 
     kernel = functools.partial(
@@ -312,13 +347,14 @@ def fused_mrr_solve_2d(
         g1=g1,
         p1lo=p1lo,
         maxiter=maxiter,
+        g0=g0 if const else None,
     )
     x, trace, stats = pl.pallas_call(
         kernel,
         grid=(),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            coef_spec,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=(

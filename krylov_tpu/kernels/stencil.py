@@ -95,9 +95,24 @@ def stencil_matvec_2d(
     xg = x.reshape(grid)
     # Rows padded by the full 8-sublane halo so every slab load is aligned.
     xp = jnp.pad(xg, ((H, H + g0p - g0), (p1lo, p1hi)))
-    coef_p = (
-        jnp.pad(coef, ((0, 0), (0, g0p - g0), (0, 0))) if g0p != g0 else coef
-    )
+    const = coef.ndim == 1
+    if const:
+        # Constant weights ride in SMEM; the zero-padded x supplies the
+        # boundary zeros that stored grid coefficients would otherwise carry
+        # (identical result — a leaving-grid coupling reads padding).
+        coef_p = coef
+        coef_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    else:
+        coef_p = (
+            jnp.pad(coef, ((0, 0), (0, g0p - g0), (0, 0)))
+            if g0p != g0
+            else coef
+        )
+        coef_spec = pl.BlockSpec(
+            (len(stencil), tile0, g1),
+            lambda i: (0, i, 0),
+            memory_space=pltpu.VMEM,
+        )
 
     kernel = functools.partial(
         _stencil2d_kernel,
@@ -110,11 +125,7 @@ def stencil_matvec_2d(
         kernel,
         grid=(g0p // tile0,),
         in_specs=[
-            pl.BlockSpec(
-                (len(stencil), tile0, g1),
-                lambda i: (0, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            coef_spec,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # padded x, resident
         ],
         out_specs=pl.BlockSpec(

@@ -26,14 +26,28 @@ def poisson1d(n: int, dtype=np.float64) -> DiaMatrix:
     return DiaMatrix(jnp.asarray(data), (-1, 0, 1), (n, n))
 
 
-def laplace2d(nx: int, ny: int | None = None, dtype=np.float64) -> StencilMatrix:
+def laplace2d(
+    nx: int,
+    ny: int | None = None,
+    dtype=np.float64,
+    constant: bool = False,
+) -> StencilMatrix:
     """2-D 5-point Laplacian on an ny*nx grid, row-major (BASELINE configs 2-3).
 
     Returned as a grid-aware :class:`StencilMatrix` (the TPU-roofline
     container); interior stencil [4, -1, -1, -1, -1] with Dirichlet
     boundaries (couplings across the grid edge stored as zero).
+
+    ``constant=True`` returns the constant-coefficient form — per-term
+    scalar weights instead of stored grids (same operator; see
+    :class:`StencilMatrix`) — which skips streaming 5 coefficient grids
+    from HBM per matvec.
     """
     ny = ny if ny is not None else nx
+    stencil = ((-1, 0), (0, -1), (0, 0), (0, 1), (1, 0))
+    if constant:
+        w = np.array([-1.0, -1.0, 4.0, -1.0, -1.0], dtype=dtype)
+        return StencilMatrix(jnp.asarray(w), stencil, (ny, nx))
     iy = np.arange(ny)[:, None]
     ix = np.arange(nx)[None, :]
     main = np.full((ny, nx), 4.0, dtype=dtype)
@@ -42,16 +56,31 @@ def laplace2d(nx: int, ny: int | None = None, dtype=np.float64) -> StencilMatrix
     west = np.broadcast_to((ix > 0), (ny, nx)).astype(dtype) * -1.0  # (i, j-1)
     east = np.broadcast_to((ix < nx - 1), (ny, nx)).astype(dtype) * -1.0
     coef = np.stack([north, west, main, east, south]).astype(dtype)
-    stencil = ((-1, 0), (0, -1), (0, 0), (0, 1), (1, 0))
     return StencilMatrix(jnp.asarray(coef), stencil, (ny, nx))
 
 
 def laplace3d(
-    nx: int, ny: int | None = None, nz: int | None = None, dtype=np.float64
+    nx: int,
+    ny: int | None = None,
+    nz: int | None = None,
+    dtype=np.float64,
+    constant: bool = False,
 ) -> StencilMatrix:
     """3-D 7-point Laplacian on an nz*ny*nx grid (for the >=10M-row configs)."""
     ny = ny if ny is not None else nx
     nz = nz if nz is not None else nx
+    if constant:
+        w = np.array([-1.0, -1.0, -1.0, 6.0, -1.0, -1.0, -1.0], dtype=dtype)
+        stencil = (
+            (-1, 0, 0),
+            (0, -1, 0),
+            (0, 0, -1),
+            (0, 0, 0),
+            (0, 0, 1),
+            (0, 1, 0),
+            (1, 0, 0),
+        )
+        return StencilMatrix(jnp.asarray(w), stencil, (nz, ny, nx))
     iz = np.arange(nz)[:, None, None]
     iy = np.arange(ny)[None, :, None]
     ix = np.arange(nx)[None, None, :]
