@@ -127,21 +127,26 @@ def _fused_eligible(A, method, M, scalar_dtype, fused, maxiter) -> bool:
         * np.dtype(A.dtype).itemsize
         <= 78 * 1024 * 1024
         and max(abs(d[0]) for d in A.stencil) <= 8
-        # the residual trace is an SMEM buffer: one f32 per iteration
-        and maxiter <= 65536
+        # The residual trace is an SMEM buffer (one f32 per iteration),
+        # capped at kernels.fused.TRACE_CAP slots; solves with larger
+        # maxiter stay fused — only trace RECORDING clamps to the cap.
     )
     if fused is True and not ok:
         raise ValueError(
             "fused=True requires the TPU backend and a 2-D StencilMatrix "
-            "system fitting VMEM with method cg/mrr, maxiter <= 65536, and "
-            "no preconditioner/mesh"
+            "system fitting VMEM with method cg/mrr and no "
+            "preconditioner/mesh"
         )
     return ok
 
 
 @partial(jax.jit, static_argnames=("method", "maxiter"))
 def _run_fused(A, b, x0, tol, method, maxiter):
-    from krylov_tpu.kernels.fused import fused_cg_solve_2d, fused_mrr_solve_2d
+    from krylov_tpu.kernels.fused import (
+        TRACE_CAP,
+        fused_cg_solve_2d,
+        fused_mrr_solve_2d,
+    )
     from krylov_tpu.solvers import SolveResult
 
     # x0 shift: solve A dx = b - A x0, return x0 + dx.  The residual history
@@ -159,14 +164,104 @@ def _run_fused(A, b, x0, tol, method, maxiter):
         grid=A.grid,
         maxiter=maxiter,
     )
+    trace_len = min(maxiter, TRACE_CAP) + 1
     return SolveResult(
         x=x0 + dx,
         residual_trace=trace,
-        nosl_trace=jnp.arange(maxiter + 1, dtype=jnp.int32),
+        nosl_trace=jnp.arange(trace_len, dtype=jnp.int32),
         iterations=iters,
-        index=iters,
+        # position of the final residual in the (possibly capped) trace
+        index=jnp.minimum(iters, trace_len - 1),
         converged=conv,
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("method", "maxiter", "k", "ctx", "use_fused", "restarts"),
+)
+def _run_single(
+    A, b, x0, tol, M, *, method, maxiter, k, ctx, use_fused, restarts
+):
+    """Single-device solve, optionally followed by ``restarts`` device-side
+    defect-correction passes.
+
+    The solvers converge on the RECURRED residual (reference semantics,
+    v3/cpu/cg.py:21-24), which in float32 drifts from the true residual
+    ``||b - A x||`` over many iterations.  Each restart recomputes the true
+    residual on device in working precision (accurate to ~eps_f32
+    relative — far below practical tolerances), and, if it is still above
+    ``tol``, solves the correction system ``A d = r`` to the equivalent
+    relative tolerance and updates ``x += d``.  All inside ONE dispatch —
+    unlike :func:`solve`'s ``refine=`` path, which round-trips through the
+    host in float64 for tolerances below the f32 floor."""
+
+    def base(bb, x0b, tolb):
+        if use_fused:
+            return _run_fused(A, bb, x0b, tolb, method, maxiter)
+        return _run_kernel(A, bb, x0b, tolb, method, maxiter, k, ctx, M)
+
+    result = base(b, x0, tol)
+    if restarts == 0:
+        return result
+
+    from jax import lax
+
+    b_norm = jnp.linalg.norm(b)
+    x, iters = result.x, result.iterations
+    for _ in range(restarts):
+        r = b - A.matvec(x)
+        r_norm = jnp.linalg.norm(r)
+        true_rel = r_norm / b_norm
+        # tol on the ORIGINAL system == tol * b_norm / r_norm on the defect.
+        # The correction solve itself converges on a RECURRED residual whose
+        # true residual sits slightly higher, so ask for 5x margin; floor at
+        # ~2 eps_f32 (unreachable below) and cap at 0.5.
+        inner_tol = jnp.clip(
+            0.2 * tol * b_norm / jnp.maximum(r_norm, jnp.asarray(1e-30, r_norm.dtype)),
+            2e-7,
+            0.5,
+        ).astype(b.dtype)
+
+        def correct(_):
+            res2 = base(r, jnp.zeros_like(x), inner_tol)
+            return x + res2.x, iters + res2.iterations
+
+        def skip(_):
+            return x, iters
+
+        x, iters = lax.cond(true_rel >= tol, correct, skip, None)
+
+    true_final = jnp.linalg.norm(b - A.matvec(x)) / b_norm
+    return _with_restart_fields(result, x, iters, true_final, tol)
+
+
+def _with_restart_fields(result, x, iters, true_final, tol):
+    import dataclasses
+
+    return dataclasses.replace(
+        result,
+        x=x,
+        iterations=iters,
+        converged=true_final < tol,
+        true_residual=true_final,
+    )
+
+
+def _plan_single(A, b, x0, tol, method, maxiter, k, M, scalar_dtype, fused, restarts):
+    """(jitted fn, dynamic args, static kwargs) for a single-device solve."""
+    use_fused = _fused_eligible(A, method, M, scalar_dtype, fused, maxiter)
+    ctx = None if use_fused else Context(axis=None, scalar_dtype=scalar_dtype)
+    statics = dict(
+        method=method,
+        maxiter=maxiter,
+        k=k,
+        ctx=ctx,
+        use_fused=use_fused,
+        restarts=restarts,
+    )
+    args = (A, b, x0, jnp.asarray(tol, dtype=b.dtype), M)
+    return _run_single, args, statics
 
 
 def solve_device(
@@ -181,11 +276,17 @@ def solve_device(
     mesh=None,
     scalar_dtype=None,
     fused=None,
+    restarts: int = 0,
 ):
     """Like :func:`solve` but returns the raw on-device
     :class:`~krylov_tpu.solvers.SolveResult` (fixed-shape traces, no host
     sync, no info dict) — for composing solves inside larger jitted
-    programs and for device-side benchmarking."""
+    programs and for device-side benchmarking.
+
+    ``restarts``: number of device-side defect-correction passes appended to
+    the solve, all inside the same dispatch (see :func:`_run_single`).  The
+    returned result then carries ``true_residual`` and ``converged`` reflects
+    the true residual.  Single-device only."""
     A = as_operator(A)
     b = jnp.asarray(b, dtype=A.dtype)
     n = b.shape[0]
@@ -196,17 +297,46 @@ def solve_device(
         if x0 is None
         else jnp.asarray(x0, dtype=A.dtype)
     )
-    if mesh is None and _fused_eligible(A, method, M, scalar_dtype, fused, maxiter):
-        return _run_fused(A, b, x0, tol, method, maxiter)
     if mesh is None:
-        ctx = Context(axis=None, scalar_dtype=scalar_dtype)
-        return _run_kernel(A, b, x0, jnp.asarray(tol), method, maxiter, k, ctx, M)
+        fn, args, statics = _plan_single(
+            A, b, x0, tol, method, maxiter, k, M, scalar_dtype, fused, restarts
+        )
+        return fn(*args, **statics)
+    if restarts:
+        raise ValueError("restarts= is single-device only (use refine= with mesh)")
     from krylov_tpu.dist import solve_sharded
 
     return solve_sharded(
         A, b, x0, tol=tol, method=method, maxiter=maxiter, k=k, M=M,
         mesh=mesh, scalar_dtype=scalar_dtype,
     )
+
+
+_AOT_CACHE: dict = {}
+
+
+def _aot_compile(fn, args, statics):
+    """Compile ``fn`` ahead-of-time for these arg shapes, cached.
+
+    Lets :func:`solve` time EXECUTION only — the reference times just its
+    iteration loop (reference: v3/cpu/common.py:9-18), while timing a jitted
+    call's first invocation would fold 20-40s of XLA compilation into
+    ``info['time']``.  Returns (compiled, compile_seconds) with
+    ``compile_seconds == 0.0`` on a cache hit."""
+    leaves, treedef = jax.tree.flatten(args)
+    key = (
+        fn,
+        treedef,
+        tuple((l.shape, str(l.dtype)) for l in leaves),
+        tuple(sorted(statics.items(), key=lambda kv: kv[0])),
+    )
+    if key in _AOT_CACHE:
+        return _AOT_CACHE[key], 0.0
+    t0 = time.perf_counter()
+    compiled = fn.lower(*args, **statics).compile()
+    dt = time.perf_counter() - t0
+    _AOT_CACHE[key] = compiled
+    return compiled, dt
 
 
 def solve(
@@ -222,6 +352,7 @@ def solve(
     scalar_dtype=None,
     fused=None,
     refine: int = 0,
+    restarts: int = 0,
     verbose: bool = False,
 ):
     """Solve the SPD system ``A x = b``; returns ``(x, info)``.
@@ -277,24 +408,50 @@ def solve(
             k if method in _KSKIP_METHODS else None,
         )
 
-    t0 = time.perf_counter()
-    result = solve_device(
-        A,
-        b,
-        method=method,
-        x0=x0,
-        tol=tol,
-        maxiter=maxiter,
-        k=k,
-        M=M,
-        mesh=mesh,
-        scalar_dtype=scalar_dtype,
-        fused=fused,
-    )
-    result = jax.block_until_ready(result)
-    elapsed = time.perf_counter() - t0
+    compile_time = None
+    if mesh is None:
+        # AOT-compile (cached), then time EXECUTION only — reference
+        # semantics: the loop is timed, setup is not (v3/cpu/common.py:9-18).
+        b_dev = jnp.asarray(b, dtype=A.dtype)
+        n = b_dev.shape[0]
+        maxiter_eff = n if maxiter is None else maxiter
+        x0_dev = (
+            jnp.zeros(n, dtype=A.dtype)
+            if x0 is None
+            else jnp.asarray(x0, dtype=A.dtype)
+        )
+        fn, args, statics = _plan_single(
+            A, b_dev, x0_dev, tol, method, maxiter_eff, k, M,
+            scalar_dtype, fused, restarts,
+        )
+        compiled, compile_time = _aot_compile(fn, args, statics)
+        t0 = time.perf_counter()
+        result = jax.block_until_ready(compiled(*args))
+        elapsed = time.perf_counter() - t0
+    else:
+        t0 = time.perf_counter()
+        result = solve_device(
+            A,
+            b,
+            method=method,
+            x0=x0,
+            tol=tol,
+            maxiter=maxiter,
+            k=k,
+            M=M,
+            mesh=mesh,
+            scalar_dtype=scalar_dtype,
+            fused=fused,
+        )
+        result = jax.block_until_ready(result)
+        elapsed = time.perf_counter() - t0
 
+    # ONE bulk device→host fetch: per-field np.asarray costs a transfer
+    # round-trip each (~20 ms over a remote-device tunnel).
+    result = jax.device_get(result)
     info = build_info(result, elapsed)
+    if compile_time:
+        info["compile_time"] = compile_time
 
     x_out = None
     if refine:
@@ -342,6 +499,7 @@ def solve(
                     fused=fused,
                 )
             )
+            result = jax.device_get(result)
             seg = build_info(result, time.perf_counter() - t1)
             x64 = x64 + np.asarray(result.x, dtype=np.float64)
             refinements += 1
@@ -364,7 +522,9 @@ def solve(
             if "final_k" in seg:
                 info["final_k"] = seg["final_k"]
             info["iterations"] += seg["iterations"]
-        info["converged"] = bool(true_rel < tol) or info["converged"]
+        # refine's contract is convergence of the TRUE residual; the recurred
+        # notion from the initial solve is superseded by this check.
+        info["converged"] = bool(true_rel < tol)
         info["true_residual"] = true_rel
         info["refinements"] = refinements
         x_out = x64  # float64: casting back to f32 would re-floor ||b-Ax||

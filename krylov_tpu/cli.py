@@ -123,6 +123,12 @@ def _cmd_solve(args) -> int:
         return 2
 
     dtype = np.dtype(cfg.get("dtype", "float32"))
+    if dtype == np.float64:
+        # Without x64, JAX silently downcasts to float32 while the banner
+        # and checkpoint would still claim a float64 solve ran.
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
     A = _load_matrix(cfg["matrix"], dtype=dtype)
     b = _load_rhs(cfg.get("b"), A.shape[0], dtype)
     M = _make_precond(cfg.get("precond"), A)

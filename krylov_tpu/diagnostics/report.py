@@ -51,4 +51,7 @@ def build_info(result, elapsed_time: float) -> dict:
         info["khistory"] = np.asarray(result.k_trace)[: index + 1]
     if result.final_k is not None:
         info["final_k"] = int(result.final_k)
+    if result.true_residual is not None:
+        # set by the restarts= device-side defect-correction path
+        info["true_residual"] = float(result.true_residual)
     return info

@@ -37,6 +37,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 _H = 8  # sublane-aligned row halo for the in-kernel stencil
 
+# SMEM residual-trace budget: one f32 slot per iteration up to this cap.
+# Solves running longer keep iterating (and keep exact iteration counts);
+# only the per-iteration residual RECORDING clamps to the last slot, so the
+# default ``maxiter = n`` on n > 65536 systems stays on the fused path.
+TRACE_CAP = 65536
+
 
 def _apply_stencil(coef_ref, rp, stencil, g0p, g1, p1, g0=None):
     """A @ r from the padded VMEM value ``rp`` via static shifted slices.
@@ -74,6 +80,7 @@ def _mrr_fused_kernel(
     g1,
     p1lo,
     maxiter,
+    trace_len,
     g0=None,
 ):
     tol = scal_ref[0]
@@ -108,7 +115,7 @@ def _mrr_fused_kernel(
         r = rp_ref[interior]
         rr = jnp.sum(r * r)
         res = jnp.sqrt(rr) / b_norm
-        trace_ref[i] = res
+        trace_ref[jnp.minimum(i, trace_len - 1)] = res
         conv = res < tol
 
         @pl.when(~conv)
@@ -142,7 +149,7 @@ def _mrr_fused_kernel(
 
     @pl.when(~conv)
     def _():
-        trace_ref[i] = final_res
+        trace_ref[jnp.minimum(i, trace_len - 1)] = final_res
 
     stats_ref[0] = i
     stats_ref[1] = conv.astype(jnp.int32)
@@ -163,6 +170,7 @@ def _cg_fused_kernel(
     g1,
     p1lo,
     maxiter,
+    trace_len,
     g0=None,
 ):
     tol = scal_ref[0]
@@ -184,7 +192,7 @@ def _cg_fused_kernel(
     def body(carry):
         i, _, gamma = carry
         res = jnp.sqrt(gamma) / b_norm
-        trace_ref[i] = res
+        trace_ref[jnp.minimum(i, trace_len - 1)] = res
         conv = res < tol
 
         def step(_):
@@ -217,7 +225,7 @@ def _cg_fused_kernel(
 
     @pl.when(~conv)
     def _():
-        trace_ref[i] = final_res
+        trace_ref[jnp.minimum(i, trace_len - 1)] = final_res
 
     stats_ref[0] = i
     stats_ref[1] = conv.astype(jnp.int32)
@@ -263,6 +271,7 @@ def fused_cg_solve_2d(
         coef_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     scal = jnp.stack([jnp.asarray(tol, bg.dtype), jnp.asarray(b_norm, bg.dtype)])
 
+    trace_len = min(maxiter, TRACE_CAP) + 1
     kernel = functools.partial(
         _cg_fused_kernel,
         stencil=stencil,
@@ -270,6 +279,7 @@ def fused_cg_solve_2d(
         g1=g1,
         p1lo=p1lo,
         maxiter=maxiter,
+        trace_len=trace_len,
         g0=g0 if const else None,
     )
     x, trace, stats = pl.pallas_call(
@@ -287,7 +297,7 @@ def fused_cg_solve_2d(
         ),
         out_shape=(
             jax.ShapeDtypeStruct((g0p, g1), bg.dtype),
-            jax.ShapeDtypeStruct((maxiter + 1,), bg.dtype),
+            jax.ShapeDtypeStruct((trace_len,), bg.dtype),
             jax.ShapeDtypeStruct((2,), jnp.int32),
         ),
         scratch_shapes=[
@@ -340,6 +350,7 @@ def fused_mrr_solve_2d(
         coef_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     scal = jnp.stack([jnp.asarray(tol, bg.dtype), jnp.asarray(b_norm, bg.dtype)])
 
+    trace_len = min(maxiter, TRACE_CAP) + 1
     kernel = functools.partial(
         _mrr_fused_kernel,
         stencil=stencil,
@@ -347,6 +358,7 @@ def fused_mrr_solve_2d(
         g1=g1,
         p1lo=p1lo,
         maxiter=maxiter,
+        trace_len=trace_len,
         g0=g0 if const else None,
     )
     x, trace, stats = pl.pallas_call(
@@ -364,7 +376,7 @@ def fused_mrr_solve_2d(
         ),
         out_shape=(
             jax.ShapeDtypeStruct((g0p, g1), bg.dtype),
-            jax.ShapeDtypeStruct((maxiter + 1,), bg.dtype),
+            jax.ShapeDtypeStruct((trace_len,), bg.dtype),
             jax.ShapeDtypeStruct((2,), jnp.int32),
         ),
         scratch_shapes=[

@@ -71,6 +71,9 @@ class SolveResult:
     converged: jax.Array  # bool
     k_trace: Optional[jax.Array] = None
     final_k: Optional[jax.Array] = None
+    # Device-computed ||b - A x|| / ||b|| (set by the ``restarts=`` defect-
+    # correction path in :mod:`krylov_tpu.api`; None otherwise).
+    true_residual: Optional[jax.Array] = None
 
 
 jax.tree_util.register_dataclass(
@@ -84,6 +87,7 @@ jax.tree_util.register_dataclass(
         "converged",
         "k_trace",
         "final_k",
+        "true_residual",
     ],
     meta_fields=[],
 )
