@@ -24,6 +24,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from krylov_tpu.context import Context
 from krylov_tpu.diagnostics import build_info, finish_banner, start_banner
@@ -313,6 +314,7 @@ def solve_device(
 
 
 _AOT_CACHE: dict = {}
+_AOT_CACHE_MAX = 128  # FIFO-evicted; bounds memory in long-lived processes
 
 
 def _aot_compile(fn, args, statics):
@@ -335,6 +337,8 @@ def _aot_compile(fn, args, statics):
     t0 = time.perf_counter()
     compiled = fn.lower(*args, **statics).compile()
     dt = time.perf_counter() - t0
+    if len(_AOT_CACHE) >= _AOT_CACHE_MAX:
+        _AOT_CACHE.pop(next(iter(_AOT_CACHE)))
     _AOT_CACHE[key] = compiled
     return compiled, dt
 
@@ -549,17 +553,27 @@ def solve_batched(
     tol: float = 1e-5,
     maxiter: Optional[int] = None,
     k: int = 0,
+    M=None,
+    mesh=None,
     scalar_dtype=None,
+    fused=None,
 ):
     """Solve ``A x_i = b_i`` for a whole batch of right-hand sides at once.
 
     ``B`` is (batch, N); returns the on-device batched
     :class:`~krylov_tpu.solvers.SolveResult` (``x`` is (batch, N), traces are
-    (batch, maxiter+1), ...).  The batch runs as ONE ``vmap``-ed jitted
-    while-loop — each system keeps its own convergence point (converged
-    members freeze while the rest iterate).  A capability the reference has
-    no analog for: its host-side loops can only solve one system at a time
-    (reference: v3/cpu/cg.py:19).
+    (batch, maxiter+1), ...).  The batch runs as ONE jitted dispatch — each
+    system keeps its own convergence point (converged members freeze while
+    the rest iterate).  A capability the reference has no analog for: its
+    host-side loops can only solve one system at a time (reference:
+    v3/cpu/cg.py:19).
+
+    Composition: ``M`` (preconditioner) works with the preconditioned
+    methods, ``mesh`` runs the batch row-partitioned (the batch axis vmaps
+    *inside* the ``shard_map``, so per-system reductions batch into single
+    collectives), and ``fused`` selects the whole-solve-in-one-Pallas-kernel
+    path (``lax.map`` over the batch — the Mosaic kernel runs back-to-back
+    per system with zero host dispatch in between).
     """
     A = as_operator(A)
     B = jnp.asarray(B, dtype=A.dtype)
@@ -573,16 +587,43 @@ def solve_batched(
         if X0 is None
         else jnp.asarray(X0, dtype=A.dtype)
     )
-    ctx = Context(axis=None, scalar_dtype=scalar_dtype)
-    return _run_batched(A, B, X0, jnp.asarray(tol), method, maxiter, k, ctx)
+    if mesh is not None:
+        if fused:
+            raise ValueError("fused= and mesh= are mutually exclusive")
+        from krylov_tpu.dist import solve_sharded
+
+        return solve_sharded(
+            A, B, X0, tol=tol, method=method, maxiter=maxiter, k=k, M=M,
+            mesh=mesh, scalar_dtype=scalar_dtype,
+        )
+    use_fused = _fused_eligible(A, method, M, scalar_dtype, fused, maxiter)
+    ctx = None if use_fused else Context(axis=None, scalar_dtype=scalar_dtype)
+    return _run_batched(
+        A, B, X0, jnp.asarray(tol, dtype=A.dtype), M,
+        method=method, maxiter=maxiter, k=k, ctx=ctx, use_fused=use_fused,
+    )
 
 
-@partial(jax.jit, static_argnames=("method", "maxiter", "k", "ctx"))
-def _run_batched(A, B, X0, tol, method, maxiter, k, ctx):
+@partial(
+    jax.jit, static_argnames=("method", "maxiter", "k", "ctx", "use_fused")
+)
+def _run_batched(A, B, X0, tol, M, *, method, maxiter, k, ctx, use_fused):
+    if use_fused:
+        # Pallas whole-solve kernels hold the full working set in VMEM, so
+        # the batch runs sequentially (lax.map) rather than vmapped — still
+        # ONE dispatch for the whole batch.
+        def one(bx):
+            b, x0 = bx
+            return _run_fused(A, b, x0, tol, method, maxiter)
+
+        return lax.map(one, (B, X0))
+
     kernel = _get_kernel(method)
     kwargs = dict(tol=tol, maxiter=maxiter, ctx=ctx)
     if method in _KSKIP_METHODS:
         kwargs["k"] = k
+    if method in _PRECONDITIONED_METHODS:
+        kwargs["M"] = M
 
     def one(b, x0):
         return kernel(A, b, x0, **kwargs)

@@ -31,6 +31,32 @@ _KSKIP_METHODS = {"kskipcg", "kskipmrr", "adaptivekskipmrr"}
 _PRECONDITIONED_METHODS = {"pcg", "chronopoulos_gear", "gropp", "pipelined_cg"}
 
 _CACHE: dict = {}
+_CACHE_MAX = 128  # FIFO-evicted; bounds memory in long-lived processes
+
+
+def pad_preconditioner(M, multiple: int):
+    """Zero-pad a preconditioner so its N divides ``multiple``.
+
+    Mirrors :func:`~krylov_tpu.sparse.convert.pad_to_multiple` for the system
+    operator: padding rows get a unit diagonal, so the padded preconditioner
+    acts as the identity on the pad block.  That is exact — the padded rhs
+    entries are zero and every Krylov vector stays zero there (the padded A
+    is also identity on the block), so M_pad never mixes pad and real rows.
+    """
+    import dataclasses as _dc
+
+    from krylov_tpu.precond import ChebyshevPreconditioner
+
+    if M is None:
+        return None
+    if isinstance(M, ChebyshevPreconditioner):
+        # Chebyshev applies a polynomial of A; padding the inner operator
+        # with a unit diagonal makes the polynomial act as the scalar p(1) on
+        # the pad block — harmless for the same pad-rows-stay-zero reason.
+        A_p, _, _ = pad_to_multiple(M.A, np.zeros(M.A.shape[0]), multiple)
+        return _dc.replace(M, A=A_p)
+    M_p, _, _ = pad_to_multiple(M, np.zeros(M.shape[0]), multiple)
+    return M_p
 
 
 def shard_preconditioner(M, n_devices: int, axis: str):
@@ -56,26 +82,34 @@ def shard_preconditioner(M, n_devices: int, axis: str):
     return shard_operator(M, n_devices, axis=axis)
 
 
-def _build(mesh, axis, method, maxiter, k, ctx, op_specs, m_specs, has_k_trace):
-    key = (mesh, axis, method, maxiter, k, ctx, op_specs, m_specs, has_k_trace)
+def _build(
+    mesh, axis, method, maxiter, k, ctx, op_specs, m_specs, has_k_trace,
+    batched=False,
+):
+    key = (
+        mesh, axis, method, maxiter, k, ctx, op_specs, m_specs, has_k_trace,
+        batched,
+    )
     if key in _CACHE:
         return _CACHE[key]
 
     from krylov_tpu.api import _get_kernel
 
     kernel = _get_kernel(method)
-    in_specs = (op_specs, P(axis), P(axis), P())
+    vec_spec = P(None, axis) if batched else P(axis)
+    in_specs = (op_specs, vec_spec, vec_spec, P())
     if m_specs is not None:
         in_specs = in_specs + (m_specs,)
+    scal_spec = P(None) if batched else P()
     out_specs = SolveResult(
-        x=P(axis),
-        residual_trace=P(),
-        nosl_trace=P(),
-        iterations=P(),
-        index=P(),
-        converged=P(),
-        k_trace=P() if has_k_trace else None,
-        final_k=P() if has_k_trace else None,
+        x=vec_spec,
+        residual_trace=scal_spec,
+        nosl_trace=scal_spec,
+        iterations=scal_spec,
+        index=scal_spec,
+        converged=scal_spec,
+        k_trace=scal_spec if has_k_trace else None,
+        final_k=scal_spec if has_k_trace else None,
     )
 
     def local_fn(op, b_local, x0_local, tol, *maybe_m):
@@ -84,11 +118,21 @@ def _build(mesh, axis, method, maxiter, k, ctx, op_specs, m_specs, has_k_trace):
             kwargs["k"] = k
         if method in _PRECONDITIONED_METHODS:
             kwargs["M"] = maybe_m[0] if maybe_m else None
-        return kernel(op, b_local, x0_local, **kwargs)
+
+        def one(b_l, x0_l):
+            return kernel(op, b_l, x0_l, **kwargs)
+
+        if batched:
+            # vmap INSIDE shard_map: each device vmaps over the batch of its
+            # local row blocks; the per-system psums/ppermutes batch cleanly.
+            return jax.vmap(one)(b_local, x0_local)
+        return one(b_local, x0_local)
 
     fn = jax.jit(
         jax.shard_map(local_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
     )
+    if len(_CACHE) >= _CACHE_MAX:
+        _CACHE.pop(next(iter(_CACHE)))
     _CACHE[key] = fn
     return fn
 
@@ -106,27 +150,36 @@ def solve_sharded(
     mesh: Mesh,
     scalar_dtype=None,
 ) -> SolveResult:
-    """Row-partition the system over ``mesh`` and solve under ``shard_map``."""
+    """Row-partition the system over ``mesh`` and solve under ``shard_map``.
+
+    ``b``/``x0`` may be (N,) for one system or (batch, N) for a batch of
+    right-hand sides; batched solves vmap the kernel inside the shard_map
+    (one compiled program, per-system convergence points).
+    """
     (axis,) = mesh.axis_names
     n_devices = mesh.devices.size
-    n_orig = b.shape[0]
+    batched = np.asarray(b).ndim == 2
+    n_orig = np.asarray(b).shape[-1]
 
-    A_p, b_p, _ = pad_to_multiple(A, np.asarray(b), n_devices)
+    b_np = np.asarray(b)
     x0_np = np.asarray(x0)
+    A_p, _, _ = pad_to_multiple(A, b_np[0] if batched else b_np, n_devices)
     pad = A_p.shape[0] - n_orig
-    x0_p = np.concatenate([x0_np, np.zeros(pad, dtype=x0_np.dtype)]) if pad else x0_np
+    if pad:
+        pad_widths = [(0, 0)] * (b_np.ndim - 1) + [(0, pad)]
+        b_p = np.pad(b_np, pad_widths)
+        x0_p = np.pad(x0_np, pad_widths)
+    else:
+        b_p, x0_p = b_np, x0_np
 
-    if M is not None and pad:
-        raise NotImplementedError(
-            "preconditioned sharded solves require N divisible by the mesh "
-            "size (padding a preconditioner is not supported yet)"
-        )
+    M_p = pad_preconditioner(M, n_devices) if pad else M
     op, op_specs = shard_operator(A_p, n_devices, axis=axis)
-    m_op, m_specs = shard_preconditioner(M, n_devices, axis=axis)
+    m_op, m_specs = shard_preconditioner(M_p, n_devices, axis=axis)
     ctx = Context(axis=axis, scalar_dtype=scalar_dtype)
     has_k_trace = method == "adaptivekskipmrr"
     fn = _build(
-        mesh, axis, method, maxiter, k, ctx, op_specs, m_specs, has_k_trace
+        mesh, axis, method, maxiter, k, ctx, op_specs, m_specs, has_k_trace,
+        batched=batched,
     )
 
     args = (op, jnp.asarray(b_p), jnp.asarray(x0_p), jnp.asarray(tol))
@@ -134,14 +187,7 @@ def solve_sharded(
         args = args + (m_op,)
     result = fn(*args)
     if pad:
-        result = SolveResult(
-            x=result.x[:n_orig],
-            residual_trace=result.residual_trace,
-            nosl_trace=result.nosl_trace,
-            iterations=result.iterations,
-            index=result.index,
-            converged=result.converged,
-            k_trace=result.k_trace,
-            final_k=result.final_k,
-        )
+        import dataclasses as _dc
+
+        result = _dc.replace(result, x=result.x[..., :n_orig])
     return result

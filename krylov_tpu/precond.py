@@ -85,6 +85,65 @@ def gershgorin_bounds(A) -> Tuple[float, float]:
     return lmax / 30.0, lmax
 
 
+def lanczos_bounds(
+    A, m: int = 16, seed: int = 0, safety: float = 1.05
+) -> Tuple[float, float]:
+    """Spectral-interval estimate via an m-step Lanczos run (m SpMVs).
+
+    The Ritz values of the Lanczos tridiagonal converge to the extreme
+    eigenvalues of SPD ``A`` from inside, so the returned interval is
+    ``[theta_min / safety, theta_max * safety]``.  Much tighter than
+    :func:`gershgorin_bounds` whose ``lmin = lmax/30`` heuristic can be
+    arbitrarily wrong (e.g. strongly graded diagonals); Chebyshev quality
+    depends directly on the interval, so use this when the spectrum is
+    unknown.  Runs jitted on device with full reorthogonalization (m is
+    small, the QR-like cost is negligible next to the SpMVs).
+    """
+    import jax
+
+    n = A.shape[0]
+    rng = np.random.default_rng(seed)
+    v0 = rng.standard_normal(n)
+
+    @jax.jit
+    def run(v0):
+        V = jnp.zeros((m + 1, n), dtype=A.dtype)
+        v = (v0 / jnp.linalg.norm(v0)).astype(A.dtype)
+        V = V.at[0].set(v)
+        alphas = jnp.zeros(m, dtype=A.dtype)
+        betas = jnp.zeros(m, dtype=A.dtype)
+
+        def body(j, st):
+            V, alphas, betas = st
+            v = V[j]
+            w = A.matvec(v)
+            alpha = jnp.dot(w, v, precision=jax.lax.Precision.HIGHEST)
+            w = w - alpha * v
+            # full reorthogonalization against all previous vectors
+            proj = jnp.dot(V, w, precision=jax.lax.Precision.HIGHEST)
+            w = w - jnp.dot(proj, V, precision=jax.lax.Precision.HIGHEST)
+            beta = jnp.linalg.norm(w)
+            v_next = jnp.where(beta > 0, w / jnp.where(beta > 0, beta, 1.0), w)
+            V = V.at[j + 1].set(v_next)
+            return (
+                V,
+                alphas.at[j].set(alpha),
+                betas.at[j].set(beta),
+            )
+
+        V, alphas, betas = jax.lax.fori_loop(0, m, body, (V, alphas, betas))
+        return alphas, betas
+
+    alphas, betas = jax.device_get(run(jnp.asarray(v0, dtype=A.dtype)))
+    T = np.diag(np.asarray(alphas, np.float64))
+    off = np.asarray(betas, np.float64)[: m - 1]
+    T += np.diag(off, 1) + np.diag(off, -1)
+    theta = np.linalg.eigvalsh(T)
+    lmin = max(float(theta[0]), 1e-30) / safety
+    lmax = float(theta[-1]) * safety
+    return lmin, lmax
+
+
 @dataclasses.dataclass(frozen=True)
 class ChebyshevPreconditioner:
     """Apply z ≈ A^{-1} v via a degree-d Chebyshev recurrence (d SpMVs)."""
@@ -128,10 +187,23 @@ jax.tree_util.register_dataclass(
 )
 
 
-def chebyshev(A, degree: int = 4, lmin: float | None = None, lmax: float | None = None):
-    """Build a Chebyshev polynomial preconditioner with estimated bounds."""
+def chebyshev(
+    A,
+    degree: int = 4,
+    lmin: float | None = None,
+    lmax: float | None = None,
+    bounds: str = "gershgorin",
+):
+    """Build a Chebyshev polynomial preconditioner with estimated bounds.
+
+    ``bounds``: ``"gershgorin"`` (free, lmin heuristic) or ``"lanczos"``
+    (m SpMVs, tight interval — use when the spectrum is graded/unknown).
+    """
     if lmin is None or lmax is None:
-        lo, hi = gershgorin_bounds(A)
+        if bounds == "lanczos":
+            lo, hi = lanczos_bounds(A)
+        else:
+            lo, hi = gershgorin_bounds(A)
         lmin = lo if lmin is None else lmin
         lmax = hi if lmax is None else lmax
     return ChebyshevPreconditioner(A=A, lmin=float(lmin), lmax=float(lmax), degree=int(degree))

@@ -27,6 +27,27 @@ def test_batched_matches_sequential(method, k):
         )
 
 
+def test_batched_preconditioned():
+    """solve_batched composes with M for the preconditioned methods."""
+    from krylov_tpu import precond
+
+    A = laplace2d(12)
+    n = A.shape[0]
+    rng = np.random.default_rng(5)
+    B = rng.standard_normal((3, n))
+    M = precond.jacobi(A)
+    res = solve_batched(A, B, method="pcg", M=M, tol=1e-9, maxiter=1000)
+    assert np.all(np.asarray(res.converged))
+    for i in range(3):
+        x_i, info_i = krylov_tpu.solve(
+            A, B[i], method="pcg", M=M, tol=1e-9, maxiter=1000
+        )
+        assert int(res.iterations[i]) == info_i["iterations"]
+        np.testing.assert_allclose(
+            np.asarray(res.x[i]), x_i, rtol=1e-8, atol=1e-12
+        )
+
+
 def test_batched_mixed_convergence_points():
     """Systems converging at different iteration counts stay independent."""
     A = poisson1d(60)

@@ -29,7 +29,10 @@ def _compare(A, b, method, mesh, k=0, tol=1e-9, maxiter=2000):
         A, b, method=method, k=k, tol=tol, maxiter=maxiter, mesh=mesh
     )
     assert i1["converged"] and i8["converged"]
-    assert abs(i1["iterations"] - i8["iterations"]) <= max(2, 2 * (k + 1))
+    # Reduction-order drift may shift convergence by at most one OUTER
+    # iteration (k+1 solution updates for the k-skip family); anything more
+    # would indicate a systematically different sharded path.
+    assert abs(i1["iterations"] - i8["iterations"]) <= k + 1
     np.testing.assert_allclose(x8, x1, rtol=1e-6, atol=1e-9)
     m = min(len(i1["residual"]), len(i8["residual"]))
     np.testing.assert_allclose(i1["residual"][:m], i8["residual"][:m], rtol=1e-4)
@@ -110,6 +113,55 @@ def test_sharded_preconditioned(precond_name, mesh):
     assert i1["converged"] and i8["converged"]
     assert i1["iterations"] == i8["iterations"]
     np.testing.assert_allclose(x8, x1, rtol=1e-6, atol=1e-9)
+
+
+def test_sharded_preconditioned_with_padding(mesh):
+    """pcg + mesh at N=100 (not divisible by 8): the preconditioner is
+    zero-padded with a unit diagonal alongside the operator."""
+    from krylov_tpu import precond
+
+    A = poisson1d(100)
+    b = np.random.default_rng(3).standard_normal(100)
+    for M in (precond.jacobi(A), precond.chebyshev(A, degree=3)):
+        x1, i1 = krylov_tpu.solve(A, b, method="pcg", M=M, tol=1e-9, maxiter=500)
+        x8, i8 = krylov_tpu.solve(
+            A, b, method="pcg", M=M, tol=1e-9, maxiter=500, mesh=mesh
+        )
+        assert i1["converged"] and i8["converged"]
+        assert x8.shape == (100,)
+        np.testing.assert_allclose(x8, x1, rtol=1e-6, atol=1e-9)
+
+
+def test_batched_sharded(mesh):
+    """Batched multi-RHS + mesh: the batch vmaps inside the shard_map."""
+    from krylov_tpu.api import solve_batched
+
+    A = laplace2d(16)
+    n = A.shape[0]
+    rng = np.random.default_rng(7)
+    B = rng.standard_normal((3, n))
+    res = solve_batched(A, B, method="cg", tol=1e-9, maxiter=1000, mesh=mesh)
+    assert res.x.shape == (3, n)
+    assert np.all(np.asarray(res.converged))
+    for i in range(3):
+        x_i, info_i = krylov_tpu.solve(A, B[i], method="cg", tol=1e-9, maxiter=1000)
+        assert int(res.iterations[i]) == info_i["iterations"]
+        np.testing.assert_allclose(np.asarray(res.x[i]), x_i, rtol=1e-6, atol=1e-9)
+
+
+def test_batched_sharded_with_padding(mesh):
+    """Batched + mesh at N=100 (pads to 104) returns (batch, 100)."""
+    from krylov_tpu.api import solve_batched
+
+    A = poisson1d(100)
+    rng = np.random.default_rng(8)
+    B = rng.standard_normal((2, 100))
+    res = solve_batched(A, B, method="cg", tol=1e-9, maxiter=500, mesh=mesh)
+    assert res.x.shape == (2, 100)
+    assert np.all(np.asarray(res.converged))
+    for i in range(2):
+        r = np.linalg.norm(B[i] - A.todense() @ np.asarray(res.x[i]))
+        assert r / np.linalg.norm(B[i]) < 1e-8
 
 
 def test_halo_matvec_matches_dense(mesh):

@@ -63,6 +63,47 @@ def test_unpreconditioned_pcg_matches_cg():
     np.testing.assert_allclose(i1["residual"][:m], i2["residual"][:m], rtol=1e-7)
 
 
+def test_lanczos_bounds_on_graded_spectrum():
+    """A strongly graded diagonal breaks the gershgorin lmin = lmax/30
+    heuristic by orders of magnitude; Lanczos recovers the true interval."""
+    from krylov_tpu.sparse.formats import DiaMatrix
+    import jax.numpy as jnp
+
+    n = 512
+    d = np.geomspace(1e-4, 1.0, n)  # condition number 1e4
+    A = DiaMatrix(jnp.asarray(d)[None, :], (0,), (n, n))
+
+    g_lo, g_hi = precond.gershgorin_bounds(A)
+    l_lo, l_hi = precond.lanczos_bounds(A, m=48)
+    # Heuristic lmin is ~333x too large on this spectrum ...
+    assert g_lo > 100 * d[0]
+    # ... Lanczos lands within ~4x of the true lmin (Ritz values converge
+    # from inside — the small end of a log-uniform spectrum converges
+    # slowest) and nails lmax.
+    assert l_lo <= 4 * d[0] and l_hi >= d[-1] * 0.999
+    assert l_lo > d[0] / 10 and l_hi < d[-1] * 10
+
+
+def test_chebyshev_lanczos_bounds_beat_heuristic():
+    """On the graded spectrum, Chebyshev built from Lanczos bounds
+    converges in fewer outer iterations than from the heuristic bounds."""
+    from krylov_tpu.sparse.formats import DiaMatrix
+    import jax.numpy as jnp
+
+    n = 256
+    rng = np.random.default_rng(0)
+    d = np.geomspace(1e-3, 1.0, n)
+    A = DiaMatrix(jnp.asarray(d)[None, :], (0,), (n, n))
+    b = rng.standard_normal(n)
+
+    M_h = precond.chebyshev(A, degree=8)
+    M_l = precond.chebyshev(A, degree=8, bounds="lanczos")
+    _, info_h = krylov_tpu.solve(A, b, method="pcg", M=M_h, tol=1e-9, maxiter=5000)
+    _, info_l = krylov_tpu.solve(A, b, method="pcg", M=M_l, tol=1e-9, maxiter=5000)
+    assert info_l["converged"]
+    assert info_l["iterations"] < info_h["iterations"]
+
+
 def test_chebyshev_apply_approximates_inverse():
     A = laplace2d(10)
     n = A.shape[0]
