@@ -102,28 +102,35 @@ def _run_kernel(A, b, x0, tol, method, maxiter, k, ctx, M=None):
     return kernel(A, b, x0, **kwargs)
 
 
+_FUSED_METHODS = ("cg", "mrr", "kskipcg", "kskipmrr", "adaptivekskipmrr")
+
+
 def _fused_eligible(A, method, M, scalar_dtype, fused, maxiter) -> bool:
     """Auto-select the fused whole-solve-in-one-kernel path
-    (:mod:`krylov_tpu.kernels.fused`) when it applies."""
+    (:mod:`krylov_tpu.kernels.fused` / ``fused_kskip``) when it applies."""
     from krylov_tpu.sparse.formats import StencilMatrix
 
     if fused is False:
         return False
+    # Whole working set must fit the chip's 128 MB VMEM (probed: N=1.44M
+    # f32 cg compiles/runs, N=1.96M OOMs — hence the 78 MB cap on the
+    # nominal count).  Grid-sized buffers: ns coefficient grids (zero for
+    # the constant-weight form, whose coefficients ride in SMEM) + b/x/state
+    # vectors + compiler temporaries (~3 more grid-sized values during the
+    # stencil accumulation) + Mosaic lane/sublane padding.  The k-skip
+    # kernels hold more state (padded workspace + 4 ring slots + carried
+    # vectors) but are O(1) in k — the Krylov bases are STREAMED, never
+    # materialized (see kernels/fused_kskip.py).
+    n_bufs = 8 if method in ("cg", "mrr") else 16
     ok = (
         jax.default_backend() == "tpu"  # Mosaic path; CPU uses lax.while_loop
         and np.dtype(A.dtype).itemsize <= 4  # Mosaic scalars are 32-bit
-        and method in ("cg", "mrr")
+        and method in _FUSED_METHODS
         and M is None
         and scalar_dtype in (None, A.dtype)
         and isinstance(A, StencilMatrix)
         and len(A.grid) == 2
-        # Whole working set — ns coefficient grids (zero for the
-        # constant-weight form, whose coefficients live in SMEM) + b/x/state
-        # vectors + compiler temporaries (~3 more grid-sized values during
-        # the stencil accumulation) plus Mosaic lane/sublane padding — must
-        # fit the chip's 128 MB VMEM (probed).  78 MB on the nominal count
-        # was validated on-chip: N=1.44M compiles/runs, N=1.96M OOMs.
-        and ((0 if A.is_constant else len(A.stencil)) + 8)
+        and ((0 if A.is_constant else len(A.stencil)) + n_bufs)
         * A.shape[0]
         * np.dtype(A.dtype).itemsize
         <= 78 * 1024 * 1024
@@ -135,14 +142,14 @@ def _fused_eligible(A, method, M, scalar_dtype, fused, maxiter) -> bool:
     if fused is True and not ok:
         raise ValueError(
             "fused=True requires the TPU backend and a 2-D StencilMatrix "
-            "system fitting VMEM with method cg/mrr and no "
+            f"system fitting VMEM with method in {_FUSED_METHODS} and no "
             "preconditioner/mesh"
         )
     return ok
 
 
-@partial(jax.jit, static_argnames=("method", "maxiter"))
-def _run_fused(A, b, x0, tol, method, maxiter):
+@partial(jax.jit, static_argnames=("method", "maxiter", "k"))
+def _run_fused(A, b, x0, tol, method, maxiter, k=0):
     from krylov_tpu.kernels.fused import (
         TRACE_CAP,
         fused_cg_solve_2d,
@@ -155,25 +162,66 @@ def _run_fused(A, b, x0, tol, method, maxiter):
     # ORIGINAL b (reference: v3/cpu/common.py:24).
     b_norm = jnp.linalg.norm(b)
     b_eff = b - A.matvec(x0)
-    fn = fused_cg_solve_2d if method == "cg" else fused_mrr_solve_2d
-    dx, trace, iters, conv = fn(
-        A.coef,
-        b_eff,
-        tol,
-        b_norm,
-        stencil=A.stencil,
-        grid=A.grid,
-        maxiter=maxiter,
+
+    if method in ("cg", "mrr"):
+        fn = fused_cg_solve_2d if method == "cg" else fused_mrr_solve_2d
+        dx, trace, iters, conv = fn(
+            A.coef,
+            b_eff,
+            tol,
+            b_norm,
+            stencil=A.stencil,
+            grid=A.grid,
+            maxiter=maxiter,
+        )
+        trace_len = min(maxiter, TRACE_CAP) + 1
+        return SolveResult(
+            x=x0 + dx,
+            residual_trace=trace,
+            nosl_trace=jnp.arange(trace_len, dtype=jnp.int32),
+            iterations=iters,
+            # position of the final residual in the (possibly capped) trace
+            index=jnp.minimum(iters, trace_len - 1),
+            converged=conv,
+        )
+
+    from krylov_tpu.kernels.fused_kskip import (
+        fused_kskipcg_solve_2d,
+        fused_kskipmrr_solve_2d,
     )
-    trace_len = min(maxiter, TRACE_CAP) + 1
+
+    trace_len = min(maxiter, TRACE_CAP) + 2
+    if method == "kskipcg":
+        dx, trace, nosl, iters, conv, index = fused_kskipcg_solve_2d(
+            A.coef, b_eff, tol, b_norm, k,
+            stencil=A.stencil, grid=A.grid, maxiter=maxiter, k_max=max(k, 1),
+        )
+        return SolveResult(
+            x=x0 + dx,
+            residual_trace=trace,
+            nosl_trace=nosl,
+            iterations=iters,
+            index=jnp.minimum(index, trace_len - 1),
+            converged=conv,
+        )
+
+    adaptive = method == "adaptivekskipmrr"
+    dx, trace, nosl, ktrace, iters, conv, index, final_k = (
+        fused_kskipmrr_solve_2d(
+            A.coef, b_eff, tol, b_norm, k,
+            stencil=A.stencil, grid=A.grid, maxiter=maxiter,
+            k_max=max(k, 1), adaptive=adaptive,
+        )
+    )
     return SolveResult(
         x=x0 + dx,
         residual_trace=trace,
-        nosl_trace=jnp.arange(trace_len, dtype=jnp.int32),
+        nosl_trace=nosl,
         iterations=iters,
-        # position of the final residual in the (possibly capped) trace
-        index=jnp.minimum(iters, trace_len - 1),
+        index=jnp.minimum(index, trace_len - 1),
         converged=conv,
+        k_trace=ktrace if adaptive else None,
+        final_k=final_k if adaptive else None,
     )
 
 
@@ -199,7 +247,7 @@ def _run_single(
 
     def base(bb, x0b, tolb):
         if use_fused:
-            return _run_fused(A, bb, x0b, tolb, method, maxiter)
+            return _run_fused(A, bb, x0b, tolb, method, maxiter, k)
         return _run_kernel(A, bb, x0b, tolb, method, maxiter, k, ctx, M)
 
     result = base(b, x0, tol)
@@ -614,7 +662,7 @@ def _run_batched(A, B, X0, tol, M, *, method, maxiter, k, ctx, use_fused):
         # ONE dispatch for the whole batch.
         def one(bx):
             b, x0 = bx
-            return _run_fused(A, b, x0, tol, method, maxiter)
+            return _run_fused(A, b, x0, tol, method, maxiter, k)
 
         return lax.map(one, (B, X0))
 

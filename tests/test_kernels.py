@@ -56,6 +56,105 @@ def test_fused_solver_matches_while_loop(method):
     np.testing.assert_allclose(np.asarray(x), xr, rtol=1e-8, atol=1e-12)
 
 
+@pytest.mark.parametrize("k", [1, 2, 4])
+def test_fused_kskipcg_matches_while_loop(k):
+    """The streamed-bundle k-skip CG kernel reproduces the while_loop solver
+    bit-for-bit in iteration structure (same reductions in both)."""
+    from krylov_tpu.kernels import fused_kskipcg_solve_2d
+
+    A = laplace2d(24)
+    b = np.random.default_rng(0).standard_normal(A.shape[0])
+    bn = np.linalg.norm(b)
+    x, trace, nosl, iters, conv, index = fused_kskipcg_solve_2d(
+        A.coef, jnp.asarray(b), 1e-8, bn, k,
+        stencil=A.stencil, grid=A.grid, maxiter=500, k_max=k, interpret=True,
+    )
+    xr, info = krylov_tpu.solve(A, b, method="kskipcg", k=k, tol=1e-8, maxiter=500)
+    assert bool(conv) and info["converged"]
+    assert int(iters) == info["iterations"]
+    m = int(index) + 1
+    np.testing.assert_allclose(np.asarray(trace)[:m], info["residual"], rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(nosl)[:m], info["nosl"])
+    np.testing.assert_allclose(np.asarray(x), xr, rtol=1e-6, atol=1e-10)
+
+
+@pytest.mark.parametrize("k,adaptive", [(1, False), (2, False), (4, False), (2, True), (4, True)])
+def test_fused_kskipmrr_matches_while_loop(k, adaptive):
+    """Streamed-bundle k-skip MrR / adaptive kernel vs the while_loop
+    solvers.  x tolerance allows reduction-order drift: the while_loop path
+    bundles inner products via an MXU Gram matmul, the kernel via VPU sums
+    (measured ~5e-11 absolute at k=4, f64)."""
+    from krylov_tpu.kernels import fused_kskipmrr_solve_2d
+
+    method = "adaptivekskipmrr" if adaptive else "kskipmrr"
+    A = laplace2d(24)
+    b = np.random.default_rng(0).standard_normal(A.shape[0])
+    bn = np.linalg.norm(b)
+    x, trace, nosl, ktrace, iters, conv, index, final_k = (
+        fused_kskipmrr_solve_2d(
+            A.coef, jnp.asarray(b), 1e-8, bn, k,
+            stencil=A.stencil, grid=A.grid, maxiter=500, k_max=k,
+            adaptive=adaptive, interpret=True,
+        )
+    )
+    xr, info = krylov_tpu.solve(A, b, method=method, k=k, tol=1e-8, maxiter=500)
+    assert bool(conv) and info["converged"]
+    assert int(iters) == info["iterations"]
+    m = int(index) + 1
+    np.testing.assert_allclose(np.asarray(trace)[:m], info["residual"], rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(nosl)[:m], info["nosl"])
+    np.testing.assert_allclose(np.asarray(x), xr, rtol=1e-6, atol=1e-9)
+    if adaptive:
+        np.testing.assert_array_equal(np.asarray(ktrace)[:m], info["khistory"])
+        assert int(final_k) == info["final_k"]
+
+
+def test_fused_adaptive_rollback_parity():
+    """Force the rollback path (non-normal advection-like stencil: MrR
+    overshoots, the residual-increase guard fires) and check the kernel
+    reproduces the while_loop rollback semantics including khistory and the
+    k decrement."""
+    from krylov_tpu.kernels import fused_kskipmrr_solve_2d
+    from krylov_tpu.sparse.formats import StencilMatrix
+
+    rng = np.random.default_rng(3)
+    g = (16, 16)
+    iy = np.arange(g[0])[:, None]
+    ix = np.arange(g[1])[None, :]
+    eps = 0.5
+    coef = np.stack([
+        -(1 + eps) * np.broadcast_to(iy > 0, g).astype(float),
+        -(1 + eps) * np.broadcast_to(ix > 0, g).astype(float),
+        np.full(g, 4.5),
+        -(1 - eps) * np.broadcast_to(ix < g[1] - 1, g).astype(float),
+        -(1 - eps) * np.broadcast_to(iy < g[0] - 1, g).astype(float),
+    ])
+    A = StencilMatrix(
+        jnp.asarray(coef), ((-1, 0), (0, -1), (0, 0), (0, 1), (1, 0)), g
+    )
+    b = rng.standard_normal(A.shape[0])
+    bn = np.linalg.norm(b)
+    k = 6
+    x, trace, nosl, ktrace, iters, conv, index, final_k = (
+        fused_kskipmrr_solve_2d(
+            A.coef, jnp.asarray(b), 1e-8, bn, k,
+            stencil=A.stencil, grid=A.grid, maxiter=2000, k_max=k,
+            adaptive=True, interpret=True,
+        )
+    )
+    xr, info = krylov_tpu.solve(
+        A, b, method="adaptivekskipmrr", k=k, tol=1e-8, maxiter=2000
+    )
+    assert info["final_k"] < k, "fixture must actually trigger rollbacks"
+    assert int(final_k) == info["final_k"]
+    m = int(index) + 1
+    np.testing.assert_array_equal(np.asarray(ktrace)[:m], info["khistory"])
+    np.testing.assert_array_equal(np.asarray(nosl)[:m], info["nosl"])
+    np.testing.assert_allclose(np.asarray(trace)[:m], info["residual"], rtol=1e-5)
+    assert int(iters) == info["iterations"]
+    np.testing.assert_allclose(np.asarray(x), xr, rtol=1e-6, atol=1e-9)
+
+
 def test_fused_maxiter_divergence():
     A = laplace2d(16)
     b = np.random.default_rng(1).standard_normal(A.shape[0])
