@@ -129,7 +129,7 @@ def _fused_eligible(A, method, M, scalar_dtype, fused, maxiter) -> bool:
         and M is None
         and scalar_dtype in (None, A.dtype)
         and isinstance(A, StencilMatrix)
-        and len(A.grid) == 2
+        and len(A.grid) in (2, 3)  # 3-D runs collapsed (collapse_to_2d)
         and ((0 if A.is_constant else len(A.stencil)) + n_bufs)
         * A.shape[0]
         * np.dtype(A.dtype).itemsize
@@ -141,7 +141,7 @@ def _fused_eligible(A, method, M, scalar_dtype, fused, maxiter) -> bool:
     )
     if fused is True and not ok:
         raise ValueError(
-            "fused=True requires the TPU backend and a 2-D StencilMatrix "
+            "fused=True requires the TPU backend and a 2-D/3-D StencilMatrix "
             f"system fitting VMEM with method in {_FUSED_METHODS} and no "
             "preconditioner/mesh"
         )
@@ -162,17 +162,20 @@ def _run_fused(A, b, x0, tol, method, maxiter, k=0):
     # ORIGINAL b (reference: v3/cpu/common.py:24).
     b_norm = jnp.linalg.norm(b)
     b_eff = b - A.matvec(x0)
+    # 3-D grids run on the 2-D kernels over the collapsed (g0, g1*g2) view.
+    coef2, stencil2, grid2, sub = A.collapse_to_2d()
 
     if method in ("cg", "mrr"):
         fn = fused_cg_solve_2d if method == "cg" else fused_mrr_solve_2d
         dx, trace, iters, conv = fn(
-            A.coef,
+            coef2,
             b_eff,
             tol,
             b_norm,
-            stencil=A.stencil,
-            grid=A.grid,
+            stencil=stencil2,
+            grid=grid2,
             maxiter=maxiter,
+            sub=sub,
         )
         trace_len = min(maxiter, TRACE_CAP) + 1
         return SolveResult(
@@ -193,8 +196,9 @@ def _run_fused(A, b, x0, tol, method, maxiter, k=0):
     trace_len = min(maxiter, TRACE_CAP) + 2
     if method == "kskipcg":
         dx, trace, nosl, iters, conv, index = fused_kskipcg_solve_2d(
-            A.coef, b_eff, tol, b_norm, k,
-            stencil=A.stencil, grid=A.grid, maxiter=maxiter, k_max=max(k, 1),
+            coef2, b_eff, tol, b_norm, k,
+            stencil=stencil2, grid=grid2, maxiter=maxiter, k_max=max(k, 1),
+            sub=sub,
         )
         return SolveResult(
             x=x0 + dx,
@@ -208,9 +212,9 @@ def _run_fused(A, b, x0, tol, method, maxiter, k=0):
     adaptive = method == "adaptivekskipmrr"
     dx, trace, nosl, ktrace, iters, conv, index, final_k = (
         fused_kskipmrr_solve_2d(
-            A.coef, b_eff, tol, b_norm, k,
-            stencil=A.stencil, grid=A.grid, maxiter=maxiter,
-            k_max=max(k, 1), adaptive=adaptive,
+            coef2, b_eff, tol, b_norm, k,
+            stencil=stencil2, grid=grid2, maxiter=maxiter,
+            k_max=max(k, 1), adaptive=adaptive, sub=sub,
         )
     )
     return SolveResult(

@@ -44,7 +44,7 @@ _H = 8  # sublane-aligned row halo for the in-kernel stencil
 TRACE_CAP = 65536
 
 
-def _apply_stencil(coef_ref, rp, stencil, g0p, g1, p1, g0=None):
+def _apply_stencil(coef_ref, rp, stencil, g0p, g1, p1, g0=None, sub=None):
     """A @ r from the padded VMEM value ``rp`` via static shifted slices.
 
     ``coef_ref`` is either a (ns, g0p, g1) VMEM block of coefficient grids
@@ -52,11 +52,29 @@ def _apply_stencil(coef_ref, rp, stencil, g0p, g1, p1, g0=None):
     stored boundary zeros, so rows >= g0 (the sublane-alignment padding,
     which would otherwise couple back into real rows on the next iteration)
     are masked to zero when ``g0 < g0p``.
+
+    ``sub``: collapsed-3-D support for the constant form.  A 3-D stencil on
+    (g0, g1', g2) runs on these 2-D kernels over the collapsed grid
+    (g0, g1'*g2) with per-term column displacement ``d1'*g2 + d2``
+    (:meth:`krylov_tpu.sparse.formats.StencilMatrix.collapse_to_2d`); the
+    only structure the collapse loses is the inner-axis boundary — a
+    ``d2 != 0`` coupling at the g2 edge would read the neighbouring pencil
+    instead of a boundary zero.  ``sub = (g2, d2s)`` masks lanes where
+    ``(col % g2) + d2`` leaves ``[0, g2)``.  Grid-coefficient operators
+    store those boundary zeros explicitly and pass ``sub=None``.
     """
     acc = None
+    i2 = None
     for s, (d0, d1) in enumerate(stencil):
         block = rp[_H + d0 : _H + d0 + g0p, p1 + d1 : p1 + d1 + g1]
         term = coef_ref[s] * block
+        if sub is not None and sub[1][s] != 0:
+            g2, d2s = sub
+            if i2 is None:
+                i2 = lax.broadcasted_iota(jnp.int32, (g0p, g1), 1) % g2
+            d2 = d2s[s]
+            mask = (i2 + d2 >= 0) & (i2 + d2 < g2)
+            term = jnp.where(mask, term, jnp.zeros((), term.dtype))
         acc = term if acc is None else acc + term
     if g0 is not None and g0 != g0p:
         rows = lax.broadcasted_iota(jnp.int32, (g0p, g1), 0)
@@ -82,6 +100,7 @@ def _mrr_fused_kernel(
     maxiter,
     trace_len,
     g0=None,
+    sub=None,
 ):
     tol = scal_ref[0]
     b_norm = scal_ref[1]
@@ -97,7 +116,9 @@ def _mrr_fused_kernel(
     trace_ref[0] = res0
 
     # init half-iteration (reference: v3/cpu/mrr.py:15-25)
-    Ar = _apply_stencil(coef_ref, rp_ref[...], stencil, g0p, g1, p1lo, g0)
+    Ar = _apply_stencil(
+        coef_ref, rp_ref[...], stencil, g0p, g1, p1lo, g0, sub
+    )
     rAr = jnp.sum(r * Ar)
     ArAr = jnp.sum(Ar * Ar)
     zeta = jnp.where(ArAr == 0, 0.0, rAr / jnp.where(ArAr == 0, 1.0, ArAr))
@@ -122,7 +143,7 @@ def _mrr_fused_kernel(
         def _():
             y = y_ref[...]
             Ar = _apply_stencil(
-                coef_ref, rp_ref[...], stencil, g0p, g1, p1lo, g0
+                coef_ref, rp_ref[...], stencil, g0p, g1, p1lo, g0, sub
             )
             mu = jnp.sum(y * y)
             nu = jnp.sum(y * Ar)
@@ -172,6 +193,7 @@ def _cg_fused_kernel(
     maxiter,
     trace_len,
     g0=None,
+    sub=None,
 ):
     tol = scal_ref[0]
     b_norm = scal_ref[1]
@@ -197,7 +219,7 @@ def _cg_fused_kernel(
 
         def step(_):
             v = _apply_stencil(
-                coef_ref, pp_ref[...], stencil, g0p, g1, p1lo, g0
+                coef_ref, pp_ref[...], stencil, g0p, g1, p1lo, g0, sub
             )
             p = pp_ref[interior]
             sigma = jnp.sum(p * v)
@@ -232,7 +254,7 @@ def _cg_fused_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("stencil", "grid", "maxiter", "interpret")
+    jax.jit, static_argnames=("stencil", "grid", "maxiter", "sub", "interpret")
 )
 def fused_cg_solve_2d(
     coef,
@@ -243,6 +265,7 @@ def fused_cg_solve_2d(
     stencil: Tuple[Tuple[int, int], ...],
     grid: Tuple[int, int],
     maxiter: int,
+    sub=None,
     interpret: bool = False,
 ):
     """Whole CG solve in one kernel (reference numerics: v3/cpu/cg.py:19-40).
@@ -281,6 +304,7 @@ def fused_cg_solve_2d(
         maxiter=maxiter,
         trace_len=trace_len,
         g0=g0 if const else None,
+        sub=sub if const else None,
     )
     x, trace, stats = pl.pallas_call(
         kernel,
@@ -315,7 +339,7 @@ def fused_cg_solve_2d(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("stencil", "grid", "maxiter", "interpret")
+    jax.jit, static_argnames=("stencil", "grid", "maxiter", "sub", "interpret")
 )
 def fused_mrr_solve_2d(
     coef,
@@ -326,6 +350,7 @@ def fused_mrr_solve_2d(
     stencil: Tuple[Tuple[int, int], ...],
     grid: Tuple[int, int],
     maxiter: int,
+    sub=None,
     interpret: bool = False,
 ):
     """Whole MrR solve in one kernel.  Returns (x_flat, trace, iters, conv)."""
@@ -360,6 +385,7 @@ def fused_mrr_solve_2d(
         maxiter=maxiter,
         trace_len=trace_len,
         g0=g0 if const else None,
+        sub=sub if const else None,
     )
     x, trace, stats = pl.pallas_call(
         kernel,

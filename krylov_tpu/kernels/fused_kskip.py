@@ -68,7 +68,7 @@ class _Stencil:
     written afterwards, so the border keeps supplying the boundary zeros.
     """
 
-    def __init__(self, coef_ref, pad_ref, stencil, g0p, g1, p1lo, g0):
+    def __init__(self, coef_ref, pad_ref, stencil, g0p, g1, p1lo, g0, sub=None):
         self.coef_ref = coef_ref
         self.pad_ref = pad_ref
         self.stencil = stencil
@@ -76,6 +76,7 @@ class _Stencil:
         self.g1 = g1
         self.p1lo = p1lo
         self.g0 = g0
+        self.sub = sub
         self.interior = (slice(_H, _H + g0p), slice(p1lo, p1lo + g1))
 
     def __call__(self, v):
@@ -88,6 +89,7 @@ class _Stencil:
             self.g1,
             self.p1lo,
             self.g0,
+            self.sub,
         )
 
 
@@ -129,6 +131,7 @@ def _kskipmrr_fused_kernel(
     trace_len,
     adaptive: bool,
     g0=None,
+    sub=None,
 ):
     """k-skip MrR / adaptive k-skip MrR whole-solve kernel.
 
@@ -142,7 +145,7 @@ def _kskipmrr_fused_kernel(
     k0 = kin_ref[0]
     dt = b_ref.dtype
 
-    A = _Stencil(coef_ref, pad_ref, stencil, g0p, g1, p1lo, g0)
+    A = _Stencil(coef_ref, pad_ref, stencil, g0p, g1, p1lo, g0, sub)
     pad_ref[...] = jnp.zeros(pad_ref.shape, dt)
 
     # --- init half-iteration (reference: v3/cpu/kskipmrr.py:20-34) ---
@@ -364,6 +367,7 @@ def _kskipcg_fused_kernel(
     maxiter,
     trace_len,
     g0=None,
+    sub=None,
 ):
     """k-skip CG whole-solve kernel (semantics: solvers/kskip_cg.py, which
     follows reference: v3/cpu/kskipcg.py:8-87)."""
@@ -372,7 +376,7 @@ def _kskipcg_fused_kernel(
     kk = kin_ref[0]
     dt = b_ref.dtype
 
-    A = _Stencil(coef_ref, pad_ref, stencil, g0p, g1, p1lo, g0)
+    A = _Stencil(coef_ref, pad_ref, stencil, g0p, g1, p1lo, g0, sub)
     pad_ref[...] = jnp.zeros(pad_ref.shape, dt)
 
     # r0 = p0 = b (x0 = 0 after the wrapper's shift)
@@ -515,7 +519,9 @@ def _prep(coef, b, tol, b_norm, stencil, grid):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("stencil", "grid", "maxiter", "k_max", "adaptive", "interpret"),
+    static_argnames=(
+        "stencil", "grid", "maxiter", "k_max", "adaptive", "sub", "interpret"
+    ),
 )
 def fused_kskipmrr_solve_2d(
     coef,
@@ -529,6 +535,7 @@ def fused_kskipmrr_solve_2d(
     maxiter: int,
     k_max: int,
     adaptive: bool = False,
+    sub=None,
     interpret: bool = False,
 ):
     """Whole k-skip MrR (or adaptive) solve in one kernel.
@@ -553,6 +560,7 @@ def fused_kskipmrr_solve_2d(
         trace_len=trace_len,
         adaptive=adaptive,
         g0=g0 if const else None,
+        sub=sub if const else None,
     )
     grid_buf = lambda: pltpu.VMEM((g0p, g1), bg.dtype)  # noqa: E731
     x, trace, nosl, ktrace, stats = pl.pallas_call(
@@ -612,7 +620,9 @@ def fused_kskipmrr_solve_2d(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("stencil", "grid", "maxiter", "k_max", "interpret"),
+    static_argnames=(
+        "stencil", "grid", "maxiter", "k_max", "sub", "interpret"
+    ),
 )
 def fused_kskipcg_solve_2d(
     coef,
@@ -625,6 +635,7 @@ def fused_kskipcg_solve_2d(
     grid: Tuple[int, int],
     maxiter: int,
     k_max: int,
+    sub=None,
     interpret: bool = False,
 ):
     """Whole k-skip CG solve in one kernel.
@@ -646,6 +657,7 @@ def fused_kskipcg_solve_2d(
         maxiter=maxiter,
         trace_len=trace_len,
         g0=g0 if const else None,
+        sub=sub if const else None,
     )
     grid_buf = lambda: pltpu.VMEM((g0p, g1), bg.dtype)  # noqa: E731
     x, trace, nosl, stats = pl.pallas_call(

@@ -43,7 +43,7 @@ def _pads_for(stencil, ndim):
 _SUBLANE_HALO = 8  # row halo rounded up to the 8-sublane alignment unit
 
 
-def _stencil2d_kernel(coef_ref, xp_ref, out_ref, *, stencil, tile0, g1, p1):
+def _stencil2d_kernel(coef_ref, xp_ref, out_ref, *, stencil, tile0, g1, p1, sub=None):
     """One (tile0, g1) output slab.
 
     Mosaic requires dynamic sublane offsets to be provably 8-aligned, so the
@@ -57,9 +57,20 @@ def _stencil2d_kernel(coef_ref, xp_ref, out_ref, *, stencil, tile0, g1, p1):
     H = _SUBLANE_HALO
     xs = xp_ref[pl.ds(row0, tile0 + 2 * H), :]
     acc = jnp.zeros((tile0, g1), dtype=out_ref.dtype)
+    i2 = None
     for s, (d0, d1) in enumerate(stencil):
         block = xs[H + d0 : H + d0 + tile0, p1 + d1 : p1 + d1 + g1]
-        acc = acc + coef_ref[s] * block
+        term = coef_ref[s] * block
+        if sub is not None and sub[1][s] != 0:
+            # collapsed-3-D inner-axis boundary mask (see
+            # kernels.fused._apply_stencil and StencilMatrix.collapse_to_2d)
+            g2, d2s = sub
+            if i2 is None:
+                i2 = lax.broadcasted_iota(jnp.int32, (tile0, g1), 1) % g2
+            d2 = d2s[s]
+            mask = (i2 + d2 >= 0) & (i2 + d2 < g2)
+            term = jnp.where(mask, term, jnp.zeros((), term.dtype))
+        acc = acc + term
     out_ref[:] = acc
 
 
@@ -72,13 +83,16 @@ def _pick_tile0(g0: int, g1: int, itemsize: int) -> int:
     return min(t, ((g0 + 7) // 8) * 8)
 
 
-@functools.partial(jax.jit, static_argnames=("stencil", "grid", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("stencil", "grid", "sub", "interpret")
+)
 def stencil_matvec_2d(
     coef: jax.Array,
     x: jax.Array,
     *,
     stencil: Tuple[Tuple[int, int], ...],
     grid: Tuple[int, int],
+    sub=None,
     interpret: bool = False,
 ) -> jax.Array:
     """y = A x for a 2-D stencil operator; returns the flat vector."""
@@ -120,6 +134,7 @@ def stencil_matvec_2d(
         tile0=tile0,
         g1=g1,
         p1=p1lo,
+        sub=sub if const else None,
     )
     out = pl.pallas_call(
         kernel,
@@ -138,15 +153,20 @@ def stencil_matvec_2d(
 
 
 def stencil_matvec(A, x, interpret: bool = False):
-    """Dispatch: Pallas kernel for 2-D grids (VMEM-sized), XLA otherwise."""
+    """Dispatch: Pallas kernel for 2-D/3-D grids (VMEM-sized), XLA otherwise.
+
+    3-D grids run on the same 2-D kernel over the collapsed (g0, g1*g2)
+    view (StencilMatrix.collapse_to_2d)."""
     from krylov_tpu.sparse.formats import StencilMatrix
 
     assert isinstance(A, StencilMatrix)
-    if len(A.grid) == 2:
+    if len(A.grid) in (2, 3):
         n = A.shape[0]
         # padded x + coef slabs must fit VMEM; stay under ~12 MB for x.
         if n * x.dtype.itemsize <= 12 * 1024 * 1024:
+            coef2, stencil2, grid2, sub = A.collapse_to_2d()
             return stencil_matvec_2d(
-                A.coef, x, stencil=A.stencil, grid=A.grid, interpret=interpret
+                coef2, x, stencil=stencil2, grid=grid2, sub=sub,
+                interpret=interpret,
             )
     return A.matvec(x)

@@ -251,6 +251,34 @@ class StencilMatrix:
             y = y + self.coef[s] * lax.slice(xp, starts, limits)
         return y.reshape(-1)
 
+    def collapse_to_2d(self):
+        """Collapse a 3-D stencil operator to the 2-D form the Pallas
+        kernels operate on: grid ``(g0, g1*g2)``, displacement
+        ``(d0, d1, d2) -> (d0, d1*g2 + d2)``.
+
+        The mapping is exact for grid-coefficient operators (their stored
+        boundary zeros already kill couplings that leave the grid).  For the
+        constant-weight form the collapse loses the inner-axis boundary (a
+        ``d2 != 0`` coupling at the g2 edge would read the neighbouring
+        pencil), so the returned ``sub = (g2, per-term d2)`` tells the
+        kernel which lanes to mask (see kernels.fused._apply_stencil).
+
+        Returns ``(coef2, stencil2, grid2, sub)``.
+        """
+        if len(self.grid) == 2:
+            return self.coef, self.stencil, self.grid, None
+        if len(self.grid) != 3:
+            raise ValueError(
+                f"collapse_to_2d supports 2-D/3-D grids, got {self.grid}"
+            )
+        g0, g1, g2 = self.grid
+        stencil2 = tuple((d0, d1 * g2 + d2) for d0, d1, d2 in self.stencil)
+        if self.is_constant:
+            sub = (g2, tuple(d2 for _, _, d2 in self.stencil))
+            return self.coef, stencil2, (g0, g1 * g2), sub
+        coef2 = self.coef.reshape(len(self.stencil), g0, g1 * g2)
+        return coef2, stencil2, (g0, g1 * g2), None
+
     def to_dia(self) -> "DiaMatrix":
         """Exact conversion to flat DIA storage (same row-indexed values)."""
         n = self.shape[0]

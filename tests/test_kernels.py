@@ -27,6 +27,84 @@ def test_stencil_matvec_kernel(dims):
     np.testing.assert_allclose(y_k, y_ref, rtol=1e-12)
 
 
+@pytest.mark.parametrize("constant", [False, True])
+@pytest.mark.parametrize("dims", [(6, 7, 9), (8, 8, 8)])
+def test_stencil_matvec_kernel_3d(dims, constant):
+    """3-D stencils run on the 2-D kernel over the collapsed (g0, g1*g2)
+    view; the constant form additionally masks inner-axis boundary lanes."""
+    from krylov_tpu.kernels import stencil_matvec_2d
+    from krylov_tpu.sparse.fixtures import laplace3d
+
+    A = laplace3d(*dims, constant=constant)
+    x = np.random.default_rng(1).standard_normal(A.shape[0])
+    y_ref = np.asarray(A.matvec(jnp.asarray(x)))
+    coef2, stencil2, grid2, sub = A.collapse_to_2d()
+    y_k = np.asarray(
+        stencil_matvec_2d(
+            coef2, jnp.asarray(x), stencil=stencil2, grid=grid2, sub=sub,
+            interpret=True,
+        )
+    )
+    np.testing.assert_allclose(y_k, y_ref, rtol=1e-12)
+
+
+@pytest.mark.parametrize("constant", [False, True])
+@pytest.mark.parametrize("method", ["cg", "mrr"])
+def test_fused_solver_3d_matches_while_loop(method, constant):
+    """Fused whole-solve kernels on a 3-D 7-point Laplacian (collapsed)."""
+    from krylov_tpu.api import _run_fused
+    from krylov_tpu.sparse.fixtures import laplace3d
+    from krylov_tpu.kernels import fused_cg_solve_2d, fused_mrr_solve_2d
+
+    A = laplace3d(10, constant=constant)
+    n = A.shape[0]
+    b = np.random.default_rng(2).standard_normal(n)
+    bn = np.linalg.norm(b)
+    coef2, stencil2, grid2, sub = A.collapse_to_2d()
+    fn = fused_cg_solve_2d if method == "cg" else fused_mrr_solve_2d
+    x, trace, iters, conv = fn(
+        coef2, jnp.asarray(b), 1e-8, bn,
+        stencil=stencil2, grid=grid2, maxiter=500, sub=sub, interpret=True,
+    )
+    xr, info = krylov_tpu.solve(A, b, method=method, tol=1e-8, maxiter=500)
+    assert bool(conv) and info["converged"]
+    assert int(iters) == info["iterations"]
+    m = int(iters) + 1
+    np.testing.assert_allclose(
+        np.asarray(trace)[:m], info["residual"][:m], rtol=1e-9, atol=1e-14
+    )
+    np.testing.assert_allclose(np.asarray(x), xr, rtol=1e-8, atol=1e-12)
+
+
+@pytest.mark.parametrize("constant", [False, True])
+def test_fused_kskipmrr_3d(constant):
+    """Fused adaptive k-skip MrR on a 3-D grid (collapsed form)."""
+    from krylov_tpu.kernels import fused_kskipmrr_solve_2d
+    from krylov_tpu.sparse.fixtures import laplace3d
+
+    A = laplace3d(8, constant=constant)
+    b = np.random.default_rng(4).standard_normal(A.shape[0])
+    bn = np.linalg.norm(b)
+    k = 2
+    coef2, stencil2, grid2, sub = A.collapse_to_2d()
+    x, trace, nosl, ktrace, iters, conv, index, final_k = (
+        fused_kskipmrr_solve_2d(
+            coef2, jnp.asarray(b), 1e-8, bn, k,
+            stencil=stencil2, grid=grid2, maxiter=500, k_max=k,
+            adaptive=True, sub=sub, interpret=True,
+        )
+    )
+    xr, info = krylov_tpu.solve(
+        A, b, method="adaptivekskipmrr", k=k, tol=1e-8, maxiter=500
+    )
+    assert bool(conv) and info["converged"]
+    assert int(iters) == info["iterations"]
+    m = int(index) + 1
+    np.testing.assert_allclose(np.asarray(trace)[:m], info["residual"], rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ktrace)[:m], info["khistory"])
+    np.testing.assert_allclose(np.asarray(x), xr, rtol=1e-6, atol=1e-9)
+
+
 @pytest.mark.parametrize("method", ["cg", "mrr"])
 def test_fused_solver_matches_while_loop(method):
     """The whole-solve-in-one-kernel path reproduces the lax.while_loop
