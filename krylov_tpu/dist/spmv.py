@@ -40,6 +40,7 @@ from krylov_tpu.sparse.formats import (
     DenseMatrix,
     DiaMatrix,
     EllMatrix,
+    HybMatrix,
     StencilMatrix,
 )
 
@@ -208,6 +209,12 @@ def _allgather_matvec(op: ShardedOperator, x_local, ctx):
     if op.kind == "ell":
         data_local, indices_local = op.arrays
         return jnp.sum(data_local * jnp.take(x_full, indices_local, axis=0), axis=1)
+    if op.kind == "hyb":
+        ell_data, ell_idx, tail_rows, tail_data, tail_idx = op.arrays
+        y = jnp.sum(ell_data * jnp.take(x_full, ell_idx, axis=0), axis=1)
+        extra = jnp.sum(tail_data * jnp.take(x_full, tail_idx, axis=0), axis=1)
+        # tail_rows are LOCAL row ids (shard_operator re-bases them).
+        return y.at[tail_rows].add(extra)
     if op.kind == "dense":
         (data_local,) = op.arrays
         return jnp.dot(data_local, x_full, precision=lax.Precision.HIGHEST)
@@ -296,6 +303,49 @@ def shard_operator(A, n_devices: int, axis: str = "rows"):
             strategy="allgather",
         )
         specs = dataclasses.replace(op, arrays=(P(axis, None), P(axis, None)))
+        return op, specs
+    if isinstance(A, HybMatrix):
+        # Row-shard the ELL block directly.  The tail block is re-grouped by
+        # owning row block on host: every device gets the same number of tail
+        # slots (max over blocks, padded with zero rows), and tail row ids are
+        # re-based to LOCAL row numbers so the scatter-add needs no offset.
+        t_rows = np.asarray(A.tail_rows)
+        t_data = np.asarray(A.tail_data)
+        t_idx = np.asarray(A.tail_indices)
+        real = np.any(t_data != 0, axis=1)
+        block = t_rows // local_n
+        block = np.where(real, block, 0)
+        tmax = max(int(np.bincount(block[real], minlength=n_devices).max(initial=0)), 1)
+        wt = t_data.shape[1]
+        g_rows = np.zeros((n_devices, tmax), dtype=t_rows.dtype)
+        g_data = np.zeros((n_devices, tmax, wt), dtype=t_data.dtype)
+        g_idx = np.zeros((n_devices, tmax, wt), dtype=t_idx.dtype)
+        fill = np.zeros(n_devices, dtype=np.int64)
+        for ti in np.flatnonzero(real):
+            d = block[ti]
+            s = fill[d]
+            g_rows[d, s] = t_rows[ti] - d * local_n
+            g_data[d, s] = t_data[ti]
+            g_idx[d, s] = t_idx[ti]
+            fill[d] += 1
+        op = ShardedOperator(
+            kind="hyb",
+            arrays=(
+                A.ell_data,
+                A.ell_indices,
+                jnp.asarray(g_rows.reshape(-1)),
+                jnp.asarray(g_data.reshape(-1, wt)),
+                jnp.asarray(g_idx.reshape(-1, wt)),
+            ),
+            offsets=None,
+            shape=A.shape,
+            n_devices=n_devices,
+            strategy="allgather",
+        )
+        specs = dataclasses.replace(
+            op,
+            arrays=(P(axis, None), P(axis, None), P(axis), P(axis, None), P(axis, None)),
+        )
         return op, specs
     if isinstance(A, DenseMatrix):
         op = ShardedOperator(

@@ -2,6 +2,7 @@ from krylov_tpu.sparse.formats import (
     DenseMatrix,
     DiaMatrix,
     EllMatrix,
+    HybMatrix,
     Operator,
     StencilMatrix,
     as_operator,
@@ -12,6 +13,7 @@ __all__ = [
     "DenseMatrix",
     "DiaMatrix",
     "EllMatrix",
+    "HybMatrix",
     "StencilMatrix",
     "Operator",
     "as_operator",

@@ -15,7 +15,13 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from krylov_tpu.sparse.formats import DenseMatrix, DiaMatrix, EllMatrix, Operator
+from krylov_tpu.sparse.formats import (
+    DenseMatrix,
+    DiaMatrix,
+    EllMatrix,
+    HybMatrix,
+    Operator,
+)
 
 
 def _csr_parts(A):
@@ -45,8 +51,11 @@ def from_scipy(A, dtype=None, max_dia_offsets: int = 32) -> Operator:
     """Pick the best container for a scipy sparse matrix.
 
     Banded patterns (few distinct diagonals — the 1-D Poisson and 2-D
-    Laplacian benchmark families) go to :class:`DiaMatrix`; everything else
-    to :class:`EllMatrix`.
+    Laplacian benchmark families) go to :class:`DiaMatrix`.  General
+    patterns go to :class:`EllMatrix`, unless the row-nnz distribution is
+    skewed enough that max-width padding blows up storage (power-law degree
+    graphs), in which case the split :class:`HybMatrix` is used (the
+    ELL+tail storage choice is made by :func:`hyb_split_width`).
     """
     info = analyze(A)
     n, m = info["shape"]
@@ -56,7 +65,40 @@ def from_scipy(A, dtype=None, max_dia_offsets: int = 32) -> Operator:
         info["nnz"], 1
     ):
         return to_dia(A, dtype=dtype)
-    return to_ell(A, dtype=dtype)
+    csr = _csr_parts(A)
+    row_nnz = np.diff(csr.indptr)
+    w, hyb_slots = hyb_split_width(row_nnz)
+    ell_slots = n * max(int(row_nnz.max(initial=1)), 1)
+    if hyb_slots * 2 <= ell_slots:
+        return to_hyb(csr, dtype=dtype, width=w)
+    return to_ell(csr, dtype=dtype)
+
+
+def hyb_split_width(
+    row_nnz: np.ndarray, tail_width: int = 32
+) -> Tuple[int, int]:
+    """Choose the ELL width ``w`` of an ELL+tail split minimizing storage.
+
+    The tail stores each long row's overflow as ceil(overflow/tail_width)
+    fixed-width chunks (long rows SPLIT across chunks — one hub row cannot
+    force wide padding on the whole tail; the matvec's scatter-add merges a
+    row's chunks).  Storage(w) = n*w + sum_i ceil(max(nnz_i - w, 0) /
+    tail_width) * tail_width, evaluated at every distinct row width (the only
+    places the minimum can move).  Returns (w, storage_slots).
+    """
+    n = row_nnz.shape[0]
+    sorted_nnz = np.sort(row_nnz).astype(np.int64)
+    suffix = np.concatenate([np.cumsum(sorted_nnz[::-1])[::-1], [0]])
+    cands = np.unique(np.concatenate([[1], np.unique(sorted_nnz)]))
+    cands = cands[cands >= 1].astype(np.int64)
+    lo = np.searchsorted(sorted_nnz, cands, side="right")
+    t = n - lo  # rows with nnz > w
+    overflow = suffix[lo] - t * cands  # total entries past w
+    # padding: each long row's last chunk is part-filled (~tail_width/2 avg);
+    # exact enough for width selection, exact storage measured after build.
+    cost = n * cands + overflow + t * (tail_width // 2)
+    best = int(np.argmin(cost))
+    return int(cands[best]), int(cost[best])
 
 
 def to_dia(A, dtype=None) -> DiaMatrix:
@@ -78,6 +120,24 @@ def to_dia(A, dtype=None) -> DiaMatrix:
     )
 
 
+def _ell_arrays(csr, w: int, dtype):
+    """Vectorized (data, indices) ELL build for the first ``w`` entries of
+    every row; also returns the flat (entry -> row, slot) maps used by the
+    tail build."""
+    n = csr.shape[0]
+    row_nnz = np.diff(csr.indptr)
+    entry_row = np.repeat(np.arange(n, dtype=np.int64), row_nnz)
+    slot = np.arange(csr.nnz, dtype=np.int64) - np.repeat(
+        csr.indptr[:-1].astype(np.int64), row_nnz
+    )
+    data = np.zeros((n, w), dtype=dtype)
+    indices = np.zeros((n, w), dtype=np.int32)
+    keep = slot < w
+    data[entry_row[keep], slot[keep]] = csr.data[keep]
+    indices[entry_row[keep], slot[keep]] = csr.indices[keep]
+    return data, indices, entry_row, slot
+
+
 def to_ell(A, dtype=None, width: Optional[int] = None) -> EllMatrix:
     """Convert to ELLPACK with rows padded to the max (or given) width."""
     csr = _csr_parts(A)
@@ -86,14 +146,63 @@ def to_ell(A, dtype=None, width: Optional[int] = None) -> EllMatrix:
     w = int(width if width is not None else row_nnz.max(initial=1))
     w = max(w, 1)
     dtype = dtype or csr.data.dtype
-    data = np.zeros((n, w), dtype=dtype)
-    indices = np.zeros((n, w), dtype=np.int32)
-    for i in range(n):
-        lo, hi = csr.indptr[i], csr.indptr[i + 1]
-        k = min(hi - lo, w)
-        data[i, :k] = csr.data[lo : lo + k]
-        indices[i, :k] = csr.indices[lo : lo + k]
+    data, indices, _, _ = _ell_arrays(csr, w, dtype)
     return EllMatrix(data=jnp.asarray(data), indices=jnp.asarray(indices), shape=(n, m))
+
+
+def to_hyb(
+    A,
+    dtype=None,
+    width: Optional[int] = None,
+    tail_width: int = 32,
+    tail_multiple: int = 8,
+) -> HybMatrix:
+    """Convert to hybrid ELL + tail storage (:class:`HybMatrix`).
+
+    ``width`` is the ELL split point (chosen by :func:`hyb_split_width` when
+    omitted).  A row with more than ``width`` entries spills its overflow
+    into ceil(overflow / tail_width) chunks of the fixed-width tail block —
+    long rows are SPLIT across chunks, all carrying the same target row id,
+    merged by the matvec's scatter-add.  The tail slot count is padded to a
+    multiple of ``tail_multiple``.
+    """
+    csr = _csr_parts(A)
+    n, m = csr.shape
+    row_nnz = np.diff(csr.indptr).astype(np.int64)
+    wmax = int(row_nnz.max(initial=1))
+    w = int(width) if width is not None else hyb_split_width(row_nnz, tail_width)[0]
+    w = max(min(w, wmax), 1)
+    dtype = dtype or csr.data.dtype
+    data, indices, entry_row, slot = _ell_arrays(csr, w, dtype)
+
+    wt = int(tail_width)
+    overflow = np.maximum(row_nnz - w, 0)
+    chunks_per_row = -(-overflow // wt)  # ceil
+    t = int(chunks_per_row.sum())
+    t_pad = max(-(-max(t, 1) // tail_multiple) * tail_multiple, tail_multiple)
+    tail_rows = np.zeros(t_pad, dtype=np.int32)
+    tail_data = np.zeros((t_pad, wt), dtype=dtype)
+    tail_indices = np.zeros((t_pad, wt), dtype=np.int32)
+    if t:
+        long_rows = np.flatnonzero(chunks_per_row)
+        tail_rows[:t] = np.repeat(long_rows, chunks_per_row[long_rows])
+        # first chunk id of each row, then (chunk, pos) per overflow entry
+        chunk_start = np.zeros(n, dtype=np.int64)
+        chunk_start[1:] = np.cumsum(chunks_per_row)[:-1]
+        over = slot >= w
+        p = slot[over] - w
+        tr = chunk_start[entry_row[over]] + p // wt
+        ts = p % wt
+        tail_data[tr, ts] = csr.data[over]
+        tail_indices[tr, ts] = csr.indices[over]
+    return HybMatrix(
+        ell_data=jnp.asarray(data),
+        ell_indices=jnp.asarray(indices),
+        tail_rows=jnp.asarray(tail_rows),
+        tail_data=jnp.asarray(tail_data),
+        tail_indices=jnp.asarray(tail_indices),
+        shape=(n, m),
+    )
 
 
 def to_dense(A, dtype=None) -> DenseMatrix:
@@ -155,6 +264,28 @@ def pad_to_multiple(A: Operator, b: np.ndarray, multiple: int) -> Tuple[Operator
             b_p,
             n,
         )
+    if isinstance(A, HybMatrix):
+        data = np.asarray(A.ell_data)
+        idx = np.asarray(A.ell_indices)
+        w = data.shape[1]
+        new_data = np.zeros((n + pad, w), dtype=data.dtype)
+        new_idx = np.zeros((n + pad, w), dtype=idx.dtype)
+        new_data[:n] = data
+        new_idx[:n] = idx
+        new_data[n:, 0] = 1.0
+        new_idx[n:, 0] = np.arange(n, n + pad, dtype=idx.dtype)
+        return (
+            HybMatrix(
+                jnp.asarray(new_data),
+                jnp.asarray(new_idx),
+                A.tail_rows,
+                A.tail_data,
+                A.tail_indices,
+                (n + pad, n + pad),
+            ),
+            b_p,
+            n,
+        )
     if isinstance(A, DenseMatrix):
         data = np.asarray(A.data)
         new = np.zeros((n + pad, n + pad), dtype=data.dtype)
@@ -190,6 +321,15 @@ def host_matvec64(A, x) -> np.ndarray:
         data = np.asarray(A.data, dtype=np.float64)
         idx = np.asarray(A.indices)
         return (data * x[idx]).sum(axis=-1)
+    if isinstance(A, HybMatrix):
+        data = np.asarray(A.ell_data, dtype=np.float64)
+        idx = np.asarray(A.ell_indices)
+        y = (data * x[idx]).sum(axis=-1)
+        t_data = np.asarray(A.tail_data, dtype=np.float64)
+        t_idx = np.asarray(A.tail_indices)
+        extra = (t_data * x[t_idx]).sum(axis=-1)
+        np.add.at(y, np.asarray(A.tail_rows), extra)
+        return y
     if isinstance(A, DenseMatrix):
         return np.asarray(A.data, dtype=np.float64) @ x
     raise TypeError(f"no host matvec for {type(A).__name__}")

@@ -130,6 +130,54 @@ def random_spd_ell(
     return to_ell(A, dtype=dtype)
 
 
+def powerlaw_spd(
+    n: int,
+    avg_deg: int = 8,
+    alpha: float = 2.1,
+    max_deg: int | None = None,
+    shift: float = 0.05,
+    seed: int = 0,
+    dtype=np.float64,
+):
+    """Power-law-degree sparse SPD matrix (SuiteSparse-graph-like), as scipy CSR.
+
+    The reference consumes arbitrary ``scipy.sparse.csr_matrix`` systems
+    (reference: v3/cpu/cg.py:27); committed SuiteSparse matrices were
+    gitignored (reference: .gitignore:1-19).  This constructor produces the
+    same *shape* of problem: a scale-free graph whose row-nnz distribution is
+    Zipf-like with a heavy tail (a few hub rows thousands wide), which is the
+    adversarial case for max-width ELL padding and the reason
+    :class:`~krylov_tpu.sparse.formats.HybMatrix` exists.
+
+    The operator is ``A = (1 + shift) I - D^{-1/2} W D^{-1/2}`` — a shifted
+    symmetric-normalized graph Laplacian.  Its spectrum lies in
+    ``[shift, 2 + shift]`` independent of the degree skew, so conditioning is
+    controlled by ``shift`` alone (kappa <= (2+shift)/shift ~ 41 at the
+    default) and float32 solves converge reliably at any size.
+    """
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(seed)
+    # Zipf-ish degrees: Pareto tail, floor 2, cap max_deg (default n//64).
+    max_deg = max_deg if max_deg is not None else max(n // 64, 16)
+    deg = 2 + (avg_deg - 2) * rng.pareto(alpha, size=n)
+    deg = np.minimum(deg.astype(np.int64), max_deg)
+    rows = np.repeat(np.arange(n, dtype=np.int64), deg)
+    cols = rng.integers(0, n, size=rows.size, dtype=np.int64)
+    off = rows != cols  # drop accidental self-loops
+    w = rng.uniform(0.5, 1.5, size=rows.size)
+    S = sp.coo_matrix(
+        (w[off], (rows[off], cols[off])), shape=(n, n)
+    ).tocsr()
+    W = S + S.T
+    d = np.asarray(W.sum(axis=1)).ravel()
+    d_inv_sqrt = 1.0 / np.sqrt(np.maximum(d, 1e-30))
+    Dh = sp.diags(d_inv_sqrt)
+    W_norm = Dh @ W @ Dh
+    A = sp.eye(n, format="csr") * (1.0 + shift) - W_norm
+    return A.tocsr().astype(dtype)
+
+
 def rhs_for_solution(A, x_true: np.ndarray) -> np.ndarray:
     """b = A @ x_true computed on host in float64 for a known-solution test."""
     dense_free = hasattr(A, "matvec")

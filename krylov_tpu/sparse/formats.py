@@ -145,6 +145,101 @@ _register_dataclass_pytree(EllMatrix, ["data", "indices"], ["shape"])
 
 
 @dataclasses.dataclass(frozen=True)
+class HybMatrix:
+    """Hybrid ELL + tail storage for skewed row-nnz distributions.
+
+    Plain ELLPACK pads every row to the maximum row width, which blows up
+    memory on power-law degree distributions (SuiteSparse graph matrices):
+    one 10k-nnz hub row forces 10k-wide padding on a million 8-nnz rows.
+    The classic fix (cuSPARSE's HYB format) splits the matrix:
+
+    - the first ``w`` entries of every row live in a regular ELL block
+      (``ell_data``/``ell_indices``, shape ``(n, w)``) — dense gather + row
+      reduction, fully vectorized;
+    - the overflow of the few long rows lives in a fixed-width tail block
+      (``tail_data``/``tail_indices``, shape ``(t, w_tail)``): each long row
+      is SPLIT into ceil(overflow / w_tail) chunks, every chunk carrying the
+      same target row in ``tail_rows``, and the chunk contributions are
+      scatter-ADDED (duplicates accumulate) — so one 5000-nnz hub row costs
+      ~5000 stored slots, not 5000-wide padding across the whole tail.  ``t``
+      is tiny for skewed matrices, so the serializing scatter touches a
+      negligible fraction of rows.
+
+    ``w`` is chosen at conversion time to minimize total storage
+    (:func:`krylov_tpu.sparse.convert.hyb_split_width`).  Padding slots store
+    value 0 with an in-range column; padding *tail chunks* store row 0 with
+    all-zero data (a scatter-add of zero).
+
+    The reference handles such matrices through scipy/cuSPARSE CSR
+    (reference: v3/cpu/cg.py:27, v3/gpu/common.py:95-105); CSR's per-row
+    variable length cannot map onto static-shape XLA, and this split is the
+    TPU-native answer.
+    """
+
+    ell_data: jax.Array  # (n, w)
+    ell_indices: jax.Array  # (n, w) int32
+    tail_rows: jax.Array  # (t,) int32
+    tail_data: jax.Array  # (t, w_tail)
+    tail_indices: jax.Array  # (t, w_tail) int32
+    shape: Tuple[int, int]
+
+    @property
+    def dtype(self):
+        return self.ell_data.dtype
+
+    @property
+    def width(self) -> int:
+        return self.ell_data.shape[1]
+
+    @property
+    def tail_width(self) -> int:
+        return self.tail_data.shape[1]
+
+    @property
+    def nnz(self) -> int:
+        return int(np.count_nonzero(np.asarray(self.ell_data))) + int(
+            np.count_nonzero(np.asarray(self.tail_data))
+        )
+
+    @property
+    def stored_entries(self) -> int:
+        """Total padded storage slots (the quantity HYB minimizes vs ELL)."""
+        return self.ell_data.size + self.tail_data.size
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        y = jnp.sum(
+            self.ell_data * jnp.take(x, self.ell_indices, axis=0), axis=1
+        )
+        extra = jnp.sum(
+            self.tail_data * jnp.take(x, self.tail_indices, axis=0), axis=1
+        )
+        return y.at[self.tail_rows].add(extra)
+
+    def todense(self) -> np.ndarray:
+        n, m = self.shape
+        out = np.zeros((n, m), dtype=np.asarray(self.ell_data).dtype)
+        data = np.asarray(self.ell_data)
+        idx = np.asarray(self.ell_indices)
+        for i in range(n):
+            for s in range(idx.shape[1]):
+                out[i, idx[i, s]] += data[i, s]
+        t_rows = np.asarray(self.tail_rows)
+        t_data = np.asarray(self.tail_data)
+        t_idx = np.asarray(self.tail_indices)
+        for ti in range(t_rows.shape[0]):
+            for s in range(t_idx.shape[1]):
+                out[t_rows[ti], t_idx[ti, s]] += t_data[ti, s]
+        return out
+
+
+_register_dataclass_pytree(
+    HybMatrix,
+    ["ell_data", "ell_indices", "tail_rows", "tail_data", "tail_indices"],
+    ["shape"],
+)
+
+
+@dataclasses.dataclass(frozen=True)
 class StencilMatrix:
     """Grid-aware banded operator: a stencil on a structured d-dim grid.
 
@@ -329,7 +424,7 @@ class DenseMatrix:
 _register_dataclass_pytree(DenseMatrix, ["data"], [])
 
 
-Operator = DiaMatrix | StencilMatrix | EllMatrix | DenseMatrix
+Operator = DiaMatrix | StencilMatrix | EllMatrix | HybMatrix | DenseMatrix
 
 
 def as_operator(A, dtype=None) -> Operator:
@@ -344,7 +439,7 @@ def as_operator(A, dtype=None) -> Operator:
     """
     from krylov_tpu.sparse import convert
 
-    if isinstance(A, (DiaMatrix, StencilMatrix, EllMatrix, DenseMatrix)):
+    if isinstance(A, (DiaMatrix, StencilMatrix, EllMatrix, HybMatrix, DenseMatrix)):
         return A
     if hasattr(A, "tocsr") and hasattr(A, "nnz"):  # scipy sparse
         return convert.from_scipy(A, dtype=dtype)

@@ -38,6 +38,8 @@ def load_npz(path: str, dtype=None, prefer: str = "auto") -> Operator:
         return convert.to_dia(csr, dtype=dtype)
     if prefer == "ell":
         return convert.to_ell(csr, dtype=dtype)
+    if prefer == "hyb":
+        return convert.to_hyb(csr, dtype=dtype)
     if prefer == "dense":
         return convert.to_dense(csr, dtype=dtype)
     raise ValueError(f"unknown prefer={prefer!r}")
@@ -71,6 +73,13 @@ def _from_csr_arrays(n, shape, indptr, indices, data, dtype, prefer):
             shape,
         )
     width = int(row_nnz.max(initial=1))
+    if prefer in ("auto", "hyb"):
+        w, hyb_slots = convert.hyb_split_width(row_nnz)
+        if prefer == "hyb" or hyb_slots * 2 <= n * width:
+            import scipy.sparse as sp
+
+            csr = sp.csr_matrix((data, indices, indptr), shape=shape)
+            return convert.to_hyb(csr, dtype=dtype, width=w)
     ell_data, ell_idx = native.csr_to_ell(n, indptr, indices, data, width)
     return EllMatrix(
         jnp.asarray(ell_data, dtype=dtype), jnp.asarray(ell_idx), shape
