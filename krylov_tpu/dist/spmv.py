@@ -114,8 +114,17 @@ def _dia_halo_matvec(data_local, offsets, x_local, axis, n_devices):
     """Banded SpMV on the local row block with ring halo exchange.
 
     data_local[d, i] = A[row0+i, row0+i+offsets[d]] for this device's row
-    block starting at global row ``row0``.  Requires bandwidth <= local_n
+    block starting at global row ``row0``.  Requires 2*bandwidth <= local_n
     (checked at partition time in :func:`shard_operator`).
+
+    Structured for TRANSFER/COMPUTE OVERLAP (verified on the scheduled
+    8-chip v5e HLO, benchmarks/overlap_analysis.py): the bulk pass applies
+    the whole band to the local block padded with ZEROS — no data dependence
+    on the ppermutes, so XLA's latency-hiding scheduler hoists it between
+    ``collective-permute-start`` and ``-done`` — and only the ``left``/
+    ``right`` boundary entries are then recomputed from the received halos.
+    (A previous version concatenated halos before a single full-band pass;
+    the scheduler fused everything after the -done and nothing overlapped.)
     """
     local_n = x_local.shape[0]
     left = max(0, -min(offsets))
@@ -124,20 +133,36 @@ def _dia_halo_matvec(data_local, offsets, x_local, axis, n_devices):
     # Issue the halo transfers first ...
     left_halo, right_halo = _ring_halo(x_local, left, right, axis, n_devices)
 
-    # ... then the interior (halo-independent) contributions, so XLA can
-    # overlap the ppermutes with this compute.
-    y = jnp.zeros_like(x_local)
-    for d, off in enumerate(offsets):
-        if off == 0:
-            y = y + data_local[d] * x_local
-
-    parts = [p for p in (left_halo, x_local, right_halo) if p is not None]
-    x_ext = jnp.concatenate(parts) if len(parts) > 1 else x_local
-    for d, off in enumerate(offsets):
-        if off != 0:
+    def band(x_ext, out_n, row0):
+        """Band applied to ``x_ext`` (= input rows [row0-left, row0+out_n+right))
+        for output rows [row0, row0+out_n)."""
+        y = jnp.zeros(out_n, x_local.dtype)
+        for d, off in enumerate(offsets):
             start = left + off
-            y = y + data_local[d] * lax.slice(x_ext, (start,), (start + local_n,))
-    return y
+            c = lax.slice(data_local[d], (row0,), (row0 + out_n,))
+            y = y + c * lax.slice(x_ext, (start,), (start + out_n,))
+        return y
+
+    # ... the halo-independent bulk next (zero-padded: rows closer than the
+    # bandwidth to the block edge come out wrong and are recomputed below).
+    x_pad = jnp.pad(x_local, (left, right))
+    y_bulk = band(x_pad, local_n, 0)
+    if left == 0 and right == 0:
+        return y_bulk
+
+    # Boundary fix-up: recompute the first ``left`` and last ``right`` rows
+    # from the received halos (tiny: O(bandwidth^2) work).
+    parts = []
+    if left:
+        top_ext = jnp.concatenate([left_halo, x_local[: left + right]])
+        parts.append(band(top_ext, left, 0))
+    parts.append(y_bulk[left : local_n - right])
+    if right:
+        bot_ext = jnp.concatenate(
+            [x_local[local_n - right - left :], right_halo]
+        )
+        parts.append(band(bot_ext, right, local_n - right))
+    return jnp.concatenate(parts)
 
 
 def _stencil_halo_matvec(op: ShardedOperator, x_local, ctx):
@@ -157,10 +182,12 @@ def _stencil_halo_matvec(op: ShardedOperator, x_local, ctx):
     rest = grid[1:]
     local_grid = (local_g0,) + rest
     xg = x_local.reshape(local_grid)
+    constant = coef_local.ndim == 1
 
     lo0 = max(0, -min(d[0] for d in op.offsets))
     hi0 = max(0, max(d[0] for d in op.offsets))
 
+    # Issue the halo transfers first ...
     fwd = [(i, (i + 1) % op.n_devices) for i in range(op.n_devices)]
     bwd = [(i, (i - 1) % op.n_devices) for i in range(op.n_devices)]
     top_halo = (
@@ -169,7 +196,7 @@ def _stencil_halo_matvec(op: ShardedOperator, x_local, ctx):
     bot_halo = (
         lax.ppermute(xg[:hi0], ctx.axis, bwd) if hi0 > 0 else None
     )
-    if coef_local.ndim == 1:
+    if constant:
         # Constant-coefficient form: there are no stored boundary zeros to
         # neutralize the ring wrap-around planes, so the global-edge devices
         # must zero the halos they receive across the wrap.
@@ -181,25 +208,55 @@ def _stencil_halo_matvec(op: ShardedOperator, x_local, ctx):
                 idx == op.n_devices - 1, jnp.zeros_like(bot_halo), bot_halo
             )
 
-    # Interior (no axis-0 displacement) terms first — overlap with halo.
     pads_rest = []
     for ax in range(1, len(grid)):
         lo = max(0, -min(d[ax] for d in op.offsets))
         hi = max(0, max(d[ax] for d in op.offsets))
         pads_rest.append((lo, hi))
-    y = jnp.zeros_like(xg)
 
-    parts = [p for p in (top_halo, xg, bot_halo) if p is not None]
-    x_ext = jnp.concatenate(parts, axis=0) if len(parts) > 1 else xg
-    xp = jnp.pad(x_ext, [(0, 0)] + pads_rest)
-    for s, disp in enumerate(op.offsets):
-        start0 = lo0 + disp[0]
-        starts = (start0,) + tuple(
-            p[0] + d for p, d in zip(pads_rest, disp[1:])
+    def stencil(x_ext, out_g0, row0):
+        """Stencil applied to slab ``x_ext`` (= input planes
+        [row0-lo0, row0+out_g0+hi0)) for output planes [row0, row0+out_g0)."""
+        xp = jnp.pad(x_ext, [(0, 0)] + pads_rest)
+        y = jnp.zeros((out_g0,) + rest, x_local.dtype)
+        out_shape = (out_g0,) + rest
+        for s, disp in enumerate(op.offsets):
+            starts = (lo0 + disp[0],) + tuple(
+                p[0] + d for p, d in zip(pads_rest, disp[1:])
+            )
+            limits = tuple(st + g for st, g in zip(starts, out_shape))
+            if constant:
+                c = coef_local[s]
+            else:
+                c = lax.slice_in_dim(coef_local[s], row0, row0 + out_g0, axis=0)
+            y = y + c * lax.slice(xp, starts, limits)
+        return y
+
+    # ... the halo-independent bulk next: the whole stencil on the local
+    # slab padded with ZERO planes.  No data dependence on the ppermutes, so
+    # XLA's latency-hiding scheduler hoists this (99.9% of the FLOPs)
+    # between collective-permute-start and -done — verified on the scheduled
+    # 8-chip v5e HLO (benchmarks/overlap_analysis.py; a previous version
+    # concatenated the halos before one full-stencil pass, and the scheduler
+    # fused everything after the -done: nothing overlapped).
+    x_pad = jnp.pad(xg, [(lo0, hi0)] + [(0, 0)] * len(rest))
+    y_bulk = stencil(x_pad, local_g0, 0)
+    if lo0 == 0 and hi0 == 0:
+        return y_bulk.reshape(-1)
+
+    # Boundary fix-up: the first lo0 / last hi0 output planes read halo
+    # planes; recompute just those from the received halos (O(plane) work).
+    parts = []
+    if lo0:
+        top_ext = jnp.concatenate([top_halo, xg[: lo0 + hi0]], axis=0)
+        parts.append(stencil(top_ext, lo0, 0))
+    parts.append(y_bulk[lo0 : local_g0 - hi0])
+    if hi0:
+        bot_ext = jnp.concatenate(
+            [xg[local_g0 - hi0 - lo0 :], bot_halo], axis=0
         )
-        limits = tuple(st + g for st, g in zip(starts, local_grid))
-        y = y + coef_local[s] * lax.slice(xp, starts, limits)
-    return y.reshape(-1)
+        parts.append(stencil(bot_ext, hi0, local_g0 - hi0))
+    return jnp.concatenate(parts, axis=0).reshape(-1)
 
 
 def _allgather_matvec(op: ShardedOperator, x_local, ctx):
@@ -248,7 +305,12 @@ def shard_operator(A, n_devices: int, axis: str = "rows"):
         )
     local_n = n // n_devices
     if isinstance(A, StencilMatrix):
-        if A.grid[0] % n_devices == 0:
+        lo0 = max(0, -min(d[0] for d in A.stencil))
+        hi0 = max(0, max(d[0] for d in A.stencil))
+        if (
+            A.grid[0] % n_devices == 0
+            and lo0 + hi0 <= A.grid[0] // n_devices
+        ):
             op = ShardedOperator(
                 kind="stencil",
                 arrays=(A.coef,),
@@ -271,8 +333,9 @@ def shard_operator(A, n_devices: int, axis: str = "rows"):
         # generic flat-DIA halo/all-gather path.
         return shard_operator(A.to_dia(), n_devices, axis=axis)
     if isinstance(A, DiaMatrix):
-        bw = A.bandwidth
-        if bw <= local_n and n_devices > 1:
+        left = max(0, -min(A.offsets)) if A.offsets else 0
+        right = max(0, max(A.offsets)) if A.offsets else 0
+        if left + right <= local_n and n_devices > 1:
             strategy = "halo"
         else:
             strategy = "allgather"
