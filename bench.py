@@ -179,6 +179,27 @@ def main():
         krylov_tpu.solve(A, b_api, method="mrr", tol=TOL, maxiter=MAXITER)
         solve_api_time = time.perf_counter() - t0
 
+    # --- Fidelity row (BASELINE.md bar: true residual < tol).  Pure f32
+    # bottoms out near kappa*eps_f32 ~ 1e-4 here, so the headline's recurred
+    # convergence does NOT imply a true residual < 1e-5; ``refine=`` runs
+    # float64 defect-correction restarts on the host until the TRUE residual
+    # passes tol (the reference's f64 policy, v3/cpu/common.py:23, recovered
+    # on f32 hardware).  Reported with its full cost.
+    refined = None
+    if time.perf_counter() - _T_START < 200.0:
+        _stage("refined solve (f64 defect correction to true tol)")
+        b_ref = rng.standard_normal(n).astype(dtype)
+        t0 = time.perf_counter()
+        _, info_ref = krylov_tpu.solve(
+            A, b_ref, method="mrr", tol=TOL, maxiter=MAXITER, refine=3
+        )
+        refined = {
+            "refined_solve_s": round(time.perf_counter() - t0, 6),
+            "refined_true_residual": float(info_ref["true_residual"]),
+            "refined_converged": bool(info_ref["converged"]),
+            "refinements": int(info_ref["refinements"]),
+        }
+
     # --- NumPy/SciPy baseline (reference semantics, float64).
     _stage("running numpy baseline")
     base_time, base_iters, base_res = numpy_mrr_baseline(
@@ -200,6 +221,8 @@ def main():
     }
     if solve_api_time is not None:
         extra["solve_api_incl_host_transfer_s"] = round(solve_api_time, 6)
+    if refined is not None:
+        extra.update(refined)
 
     # --- Optional SpMV microbenchmark, slope-based (cancels the fixed
     # per-dispatch tunnel overhead; fresh input per timed call defeats the

@@ -75,6 +75,52 @@ def run(n_devices: int, rows_per_dev: int, method: str, k: int, iters: int):
     )
 
 
+def wire_bytes(counts, rows_per_dev):
+    """Static weak-scaling evidence from the compiled HLO: collective payload
+    bytes per compiled solve module as devices and N grow together.
+
+    Wall-clock efficiency on a host-platform mesh is noise (CPU "collectives"
+    are memcpys); the quantity that determines weak scaling on a real slice
+    is BYTES ON THE WIRE PER SpMV, and that is a static property of the
+    compiled module, identical on real hardware.  Halo: one boundary strip
+    per neighbor per SpMV — CONSTANT per device as the mesh grows.
+    Reference-design allgather (v3/cpu/mpi/common.py:39-43): the full
+    N-vector per SpMV — grows linearly with the mesh.
+    """
+    import dataclasses
+
+    from jax.sharding import Mesh
+
+    from benchmarks.overlap_analysis import build_and_lower, summarize
+    from krylov_tpu.sparse.fixtures import laplace2d
+
+    g1 = 1024
+    for c in counts:
+        if c < 2:
+            continue
+        devs = np.array(jax.devices()[:c])
+        mesh = Mesh(devs, ("rows",))
+        g0 = c * max(1, rows_per_dev // g1)
+        A = laplace2d(g1, g0, dtype=np.float32)
+        row = {"devices": c, "n": A.shape[0]}
+        for strategy in ("halo", "allgather"):
+            lowered, _ = build_and_lower(mesh, A, strategy=strategy)
+            s = summarize(lowered.compile().as_text())
+            key = "collective-permute" if strategy == "halo" else "all-gather"
+            row[f"{strategy}_payload_bytes"] = s.get(key, {}).get(
+                "payload_bytes", 0
+            )
+        row["wire_reduction_x"] = round(
+            row["allgather_payload_bytes"] / max(row["halo_payload_bytes"], 1),
+            1,
+        )
+        print(
+            f"devices={c} N={row['n']:>9} halo={row['halo_payload_bytes']:>12,}B "
+            f"allgather={row['allgather_payload_bytes']:>14,}B "
+            f"reduction={row['wire_reduction_x']:>8}x (per compiled module)"
+        )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, nargs="+", default=None)
@@ -83,11 +129,18 @@ def main():
     ap.add_argument("--k", type=int, default=4)
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument(
+        "--wire-bytes", action="store_true",
+        help="report static HLO collective payloads instead of wall clock",
+    )
     args = ap.parse_args()
 
     counts = args.devices or sorted(
         {c for c in (1, 2, 4, 8) if c <= jax.device_count()}
     )
+    if args.wire_bytes:
+        wire_bytes(counts, args.rows_per_dev)
+        return
     base = None
     for c in counts:
         r = run(c, args.rows_per_dev, args.method, args.k, args.iters)
