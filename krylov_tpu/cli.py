@@ -43,7 +43,9 @@ from typing import Optional
 
 import numpy as np
 
-_FIXTURES = ("poisson1d", "laplace2d", "laplace3d", "random_spd_ell")
+_FIXTURES = (
+    "poisson1d", "laplace2d", "laplace3d", "random_spd_ell", "powerlaw_spd",
+)
 
 
 def _load_matrix(spec, dtype=None):
@@ -63,7 +65,12 @@ def _load_matrix(spec, dtype=None):
         # argument name (n for poisson1d, nx for laplace2d/3d)
         size = kwargs.pop("n", None)
         fn = getattr(fixtures, name)
-        return fn(size, **kwargs) if size is not None else fn(**kwargs)
+        A = fn(size, **kwargs) if size is not None else fn(**kwargs)
+        # powerlaw_spd returns scipy CSR; coerce to the best container
+        # (HybMatrix on its skewed row distribution).
+        from krylov_tpu.sparse.formats import as_operator
+
+        return as_operator(A, dtype=dtype)
     path = str(spec)
     if path.endswith(".mtx") or path.endswith(".mtx.gz"):
         return io.load_mtx(path, dtype=dtype)

@@ -174,6 +174,16 @@ class HybMatrix:
     (reference: v3/cpu/cg.py:27, v3/gpu/common.py:95-105); CSR's per-row
     variable length cannot map onto static-shape XLA, and this split is the
     TPU-native answer.
+
+    The matvec deliberately uses XLA's native gather/scatter rather than a
+    Pallas kernel: Mosaic exposes only the hardware's 2-D sublane-per-lane
+    gather (``out[i,j] = x[idx[i,j], j]``), and an arbitrary cross-lane
+    vector gather has no single-instruction form on the TPU — emulating it
+    in-kernel degenerates to a 128-way lane decomposition that cannot beat
+    XLA's tuned gather lowering.  For irregular sparsity the TPU win lives
+    in the LAYOUT (this split), not in hand-written gather code; the
+    structured-grid containers (DIA/Stencil) are where Pallas kernels pay
+    (kernels/stencil.py, kernels/fused*.py).
     """
 
     ell_data: jax.Array  # (n, w)
