@@ -95,7 +95,10 @@ def main():
     dtype = np.float32 if jax.default_backend() == "tpu" else np.float64
 
     _stage("building fixture")
-    A = laplace2d(NX, dtype=dtype)
+    # Constant-coefficient form of the same operator: per-term scalar
+    # weights in SMEM instead of 5 streamed coefficient grids (identical
+    # matrix — Dirichlet boundaries come from the zero padding of x).
+    A = laplace2d(NX, dtype=dtype, constant=True)
     n = A.shape[0]
     rng = np.random.default_rng(0)
     b = rng.standard_normal(n).astype(dtype)
