@@ -232,10 +232,16 @@ def row4():
     t0 = time.perf_counter()
     H = kio.load_mtx(_MTX_CACHE, dtype=dtype)
     t_load = time.perf_counter() - t0
-    max_row_nnz = int(
-        np.max(np.sum(np.asarray(H.ell_data) != 0, axis=1))
-        + np.asarray(H.tail_data).shape[1]
+    # True per-row nnz (ADVICE r2: hub rows span many tail chunks; the old
+    # "ell width + one tail width" estimate understated max-width ELL storage
+    # by orders of magnitude).  Plain ELL pads every row to max(row_nnz).
+    row_nnz = np.sum(np.asarray(H.ell_data) != 0, axis=1).astype(np.int64)
+    np.add.at(
+        row_nnz,
+        np.asarray(H.tail_rows),
+        np.sum(np.asarray(H.tail_data) != 0, axis=1).astype(np.int64),
     )
+    max_row_nnz = int(row_nnz.max())
     rng = np.random.default_rng(2)
     payload = {
         "general_sparse": dict(

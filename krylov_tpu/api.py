@@ -186,6 +186,7 @@ def _run_fused(A, b, x0, tol, method, maxiter, k=0):
             # position of the final residual in the (possibly capped) trace
             index=jnp.minimum(iters, trace_len - 1),
             converged=conv,
+            trace_truncated=iters > trace_len - 1,
         )
 
     from krylov_tpu.kernels.fused_kskip import (
@@ -207,6 +208,7 @@ def _run_fused(A, b, x0, tol, method, maxiter, k=0):
             iterations=iters,
             index=jnp.minimum(index, trace_len - 1),
             converged=conv,
+            trace_truncated=index > trace_len - 1,
         )
 
     adaptive = method == "adaptivekskipmrr"
@@ -226,6 +228,7 @@ def _run_fused(A, b, x0, tol, method, maxiter, k=0):
         converged=conv,
         k_trace=ktrace if adaptive else None,
         final_k=final_k if adaptive else None,
+        trace_truncated=index > trace_len - 1,
     )
 
 
@@ -485,22 +488,37 @@ def solve(
         result = jax.block_until_ready(compiled(*args))
         elapsed = time.perf_counter() - t0
     else:
-        t0 = time.perf_counter()
-        result = solve_device(
+        # Mesh path: AOT-compiled through the shared cache too, so
+        # info["time"] is execution-only here as well (the first sharded
+        # solve reports its compile separately in info["compile_time"]).
+        if restarts:
+            raise ValueError(
+                "restarts= is single-device only (use refine= with mesh)"
+            )
+        if fused:
+            raise ValueError("fused= and mesh= are mutually exclusive")
+        from krylov_tpu.dist import solve_sharded
+
+        b_dev = np.asarray(b, dtype=A.dtype)
+        n = b_dev.shape[0]
+        x0_arr = (
+            np.zeros(n, dtype=A.dtype)
+            if x0 is None
+            else np.asarray(x0, dtype=A.dtype)
+        )
+        result, compile_time, elapsed = solve_sharded(
             A,
-            b,
-            method=method,
-            x0=x0,
+            b_dev,
+            x0_arr,
             tol=tol,
-            maxiter=maxiter,
+            method=method,
+            maxiter=n if maxiter is None else maxiter,
             k=k,
             M=M,
             mesh=mesh,
             scalar_dtype=scalar_dtype,
-            fused=fused,
+            return_times=True,
         )
-        result = jax.block_until_ready(result)
-        elapsed = time.perf_counter() - t0
 
     # ONE bulk device→host fetch: per-field np.asarray costs a transfer
     # round-trip each (~20 ms over a remote-device tunnel).

@@ -149,13 +149,21 @@ def solve_sharded(
     M=None,
     mesh: Mesh,
     scalar_dtype=None,
-) -> SolveResult:
+    return_times: bool = False,
+):
     """Row-partition the system over ``mesh`` and solve under ``shard_map``.
 
     ``b``/``x0`` may be (N,) for one system or (batch, N) for a batch of
     right-hand sides; batched solves vmap the kernel inside the shard_map
     (one compiled program, per-system convergence points).
-    """
+
+    The sharded program is AOT-compiled through the same cache as the
+    single-device path (:func:`krylov_tpu.api._aot_compile`), so repeated
+    solves skip compilation entirely.  With ``return_times=True`` returns
+    ``(result, compile_seconds, exec_seconds)`` — compile separated from
+    execution, matching the reference's loop-only timing
+    (reference: v3/cpu/common.py:9-18); ``compile_seconds`` is 0.0 on a
+    cache hit."""
     (axis,) = mesh.axis_names
     n_devices = mesh.devices.size
     batched = np.asarray(b).ndim == 2
@@ -185,9 +193,19 @@ def solve_sharded(
     args = (op, jnp.asarray(b_p), jnp.asarray(x0_p), jnp.asarray(tol))
     if m_op is not None:
         args = args + (m_op,)
-    result = fn(*args)
+
+    import time as _time
+
+    from krylov_tpu.api import _aot_compile
+
+    compiled, compile_s = _aot_compile(fn, args, {})
+    t0 = _time.perf_counter()
+    result = jax.block_until_ready(compiled(*args))
+    exec_s = _time.perf_counter() - t0
     if pad:
         import dataclasses as _dc
 
         result = _dc.replace(result, x=result.x[..., :n_orig])
+    if return_times:
+        return result, compile_s, exec_s
     return result

@@ -114,8 +114,10 @@ def _dia_halo_matvec(data_local, offsets, x_local, axis, n_devices):
     """Banded SpMV on the local row block with ring halo exchange.
 
     data_local[d, i] = A[row0+i, row0+i+offsets[d]] for this device's row
-    block starting at global row ``row0``.  Requires 2*bandwidth <= local_n
-    (checked at partition time in :func:`shard_operator`).
+    block starting at global row ``row0``.  Requires left + right <= local_n
+    (the boundary fix-up slices below; checked at partition time in
+    :func:`shard_operator` — note this differs from 2*bandwidth for
+    asymmetric bands, e.g. offsets (0, 1, 2) need 2 <= local_n, not 4).
 
     Structured for TRANSFER/COMPUTE OVERLAP (verified on the scheduled
     8-chip v5e HLO, benchmarks/overlap_analysis.py): the bulk pass applies

@@ -31,6 +31,7 @@ from krylov_tpu.sparse.formats import (
     DenseMatrix,
     DiaMatrix,
     EllMatrix,
+    HybMatrix,
     StencilMatrix,
 )
 
@@ -54,6 +55,20 @@ def extract_diagonal(A) -> np.ndarray:
         idx = np.asarray(A.indices)
         rows = np.arange(A.shape[0])[:, None]
         return np.where(idx == rows, data, 0.0).sum(axis=1)
+    if isinstance(A, HybMatrix):
+        data = np.asarray(A.ell_data)
+        idx = np.asarray(A.ell_indices)
+        rows = np.arange(A.shape[0])[:, None]
+        out = np.where(idx == rows, data, 0.0).sum(axis=1)
+        # tail chunks: scatter-add entries whose column equals the chunk's
+        # target row (duplicate chunks of one long row accumulate, matching
+        # the matvec's scatter-add semantics)
+        t_rows = np.asarray(A.tail_rows)
+        t_data = np.asarray(A.tail_data)
+        t_idx = np.asarray(A.tail_indices)
+        diag_contrib = np.where(t_idx == t_rows[:, None], t_data, 0.0).sum(axis=1)
+        np.add.at(out, t_rows, diag_contrib)
+        return out
     if isinstance(A, DenseMatrix):
         return np.diag(np.asarray(A.data))
     raise TypeError(f"cannot extract diagonal from {type(A)}")
@@ -77,6 +92,13 @@ def gershgorin_bounds(A) -> Tuple[float, float]:
         rowsum = np.abs(np.asarray(A.data)).sum(axis=0)
     elif isinstance(A, EllMatrix):
         rowsum = np.abs(np.asarray(A.data)).sum(axis=1)
+    elif isinstance(A, HybMatrix):
+        rowsum = np.abs(np.asarray(A.ell_data)).sum(axis=1)
+        np.add.at(
+            rowsum,
+            np.asarray(A.tail_rows),
+            np.abs(np.asarray(A.tail_data)).sum(axis=1),
+        )
     elif isinstance(A, DenseMatrix):
         rowsum = np.abs(np.asarray(A.data)).sum(axis=1)
     else:

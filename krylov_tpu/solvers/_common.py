@@ -74,6 +74,10 @@ class SolveResult:
     # Device-computed ||b - A x|| / ||b|| (set by the ``restarts=`` defect-
     # correction path in :mod:`krylov_tpu.api`; None otherwise).
     true_residual: Optional[jax.Array] = None
+    # True when the residual trace ran past its recording capacity and the
+    # tail was overwritten in the last slot (fused path with
+    # iterations > kernels.fused.TRACE_CAP; None where not applicable).
+    trace_truncated: Optional[jax.Array] = None
 
 
 jax.tree_util.register_dataclass(
@@ -88,6 +92,7 @@ jax.tree_util.register_dataclass(
         "k_trace",
         "final_k",
         "true_residual",
+        "trace_truncated",
     ],
     meta_fields=[],
 )
