@@ -214,18 +214,33 @@ def chebyshev(
     degree: int = 4,
     lmin: float | None = None,
     lmax: float | None = None,
-    bounds: str = "gershgorin",
+    bounds: str = "auto",
 ):
     """Build a Chebyshev polynomial preconditioner with estimated bounds.
 
-    ``bounds``: ``"gershgorin"`` (free, lmin heuristic) or ``"lanczos"``
-    (m SpMVs, tight interval — use when the spectrum is graded/unknown).
+    ``bounds``: ``"auto"`` (default — Lanczos, falling back to Gershgorin
+    if the Lanczos run fails), ``"lanczos"`` (m SpMVs, tight interval), or
+    ``"gershgorin"`` (free, but its ``lmin = lmax/30`` heuristic can be
+    orders of magnitude wrong on graded spectra, flattening the polynomial).
+    The 16 Lanczos SpMVs are a one-time cost dwarfed by the degree*iters
+    SpMVs any preconditioned solve pays, so Lanczos is the default.
     """
     if lmin is None or lmax is None:
-        if bounds == "lanczos":
-            lo, hi = lanczos_bounds(A)
-        else:
+        if bounds == "gershgorin":
             lo, hi = gershgorin_bounds(A)
+        elif bounds == "lanczos":
+            lo, hi = lanczos_bounds(A)
+        elif bounds == "auto":
+            try:
+                lo, hi = lanczos_bounds(A)
+                if not (np.isfinite(lo) and np.isfinite(hi) and 0 < lo < hi):
+                    raise ValueError("degenerate Lanczos interval")
+            except Exception:
+                lo, hi = gershgorin_bounds(A)
+        else:
+            raise ValueError(
+                f"bounds must be 'auto', 'lanczos' or 'gershgorin', got {bounds!r}"
+            )
         lmin = lo if lmin is None else lmin
         lmax = hi if lmax is None else lmax
     return ChebyshevPreconditioner(A=A, lmin=float(lmin), lmax=float(lmax), degree=int(degree))

@@ -85,23 +85,27 @@ def test_lanczos_bounds_on_graded_spectrum():
 
 
 def test_chebyshev_lanczos_bounds_beat_heuristic():
-    """On the graded spectrum, Chebyshev built from Lanczos bounds
-    converges in fewer outer iterations than from the heuristic bounds."""
+    """VERDICT r2 #9: on a graded spectrum the gershgorin lmin=lmax/30
+    heuristic is badly wrong; Lanczos-bounded Chebyshev must converge in
+    <= 0.6x the outer iterations, and it is now the DEFAULT (bounds="auto")."""
     from krylov_tpu.sparse.formats import DiaMatrix
     import jax.numpy as jnp
 
     n = 256
     rng = np.random.default_rng(0)
-    d = np.geomspace(1e-3, 1.0, n)
+    d = np.geomspace(1e-4, 1.0, n)
     A = DiaMatrix(jnp.asarray(d)[None, :], (0,), (n, n))
     b = rng.standard_normal(n)
 
-    M_h = precond.chebyshev(A, degree=8)
-    M_l = precond.chebyshev(A, degree=8, bounds="lanczos")
+    # The interval error bites hardest at high degree (a tight polynomial on
+    # the WRONG interval leaves the sub-lmin modes nearly untouched).
+    M_h = precond.chebyshev(A, degree=24, bounds="gershgorin")
+    M_l = precond.chebyshev(A, degree=24)  # default = auto -> lanczos
+    assert M_l.lmin < 0.1 * M_h.lmin  # the heuristic interval was badly off
     _, info_h = krylov_tpu.solve(A, b, method="pcg", M=M_h, tol=1e-9, maxiter=5000)
     _, info_l = krylov_tpu.solve(A, b, method="pcg", M=M_l, tol=1e-9, maxiter=5000)
     assert info_l["converged"]
-    assert info_l["iterations"] < info_h["iterations"]
+    assert info_l["iterations"] <= 0.6 * info_h["iterations"]
 
 
 def test_chebyshev_apply_approximates_inverse():
