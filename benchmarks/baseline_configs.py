@@ -13,6 +13,8 @@ Rows and what runs where:
      real slice) + single-chip time-to-solution comparison on TPU
   4  general sparse >=1M rows (power-law),    -> TPU: .mtx -> native reader
      + k-skip MrR k=8 structured at same N       -> HybMatrix -> solve nnz/s
+  4b row-4 companion: ill-conditioned power-law -> TPU: kappa~2000 (shift
+     1e-3); CG / Jacobi-PCG / mixed-precision k-skip through the HYB path
   5  adaptive k-skip MrR, 10.08M rows (3-D)   -> TPU single chip + halo
      wire-bytes analysis (vs reference's full-vector Allgather)
 
@@ -291,6 +293,72 @@ def row4():
     )
 
 
+def row4b():
+    """Row-4 companion (VERDICT r2 #5): a genuinely ILL-CONDITIONED irregular
+    matrix at >=1M rows.  ``powerlaw_spd(shift=1e-3,
+    diag_scale_decades=1.5)`` keeps the heavy-tail row structure and fills
+    the spectrum across ~5 decades via symmetric log-uniform diagonal
+    scaling (the graded-diagonal structure of real SuiteSparse thermal*/
+    G3_circuit-class SPD problems; the unscaled shifted normalized Laplacian
+    has a single outlier eigenvalue that CG removes in ~16 iterations at any
+    size).  Measured on the n=4096 instance of the same generator:
+    kappa = 1.6e5 (eigsh both ends); at n=2^20 the provable bounds are
+    lmin >= shift (since the scale factors are >= 1) and
+    lmax <= (2+shift)*10^(2*1.5).  CG, Jacobi-PCG (which undoes the grading
+    — the classic preconditioning win), and mixed-precision k-skip MrR all
+    run through the same HYB container.  Reference analog: the
+    SuiteSparse-class systems its drivers consumed (.gitignore:1-19)."""
+    from krylov_tpu.sparse.convert import to_hyb
+    from krylov_tpu.sparse.fixtures import powerlaw_spd
+
+    dtype = np.float32 if jax.default_backend() == "tpu" else np.float64
+    n = 1 << 20
+    shift, decades = 1e-3, 1.5
+    A_sp = powerlaw_spd(n, shift=shift, diag_scale_decades=decades, seed=42)
+    H = to_hyb(A_sp, dtype=dtype)
+    import scipy.sparse.linalg as spla
+
+    lmax = float(
+        spla.eigsh(A_sp, k=1, which="LA", return_eigenvectors=False,
+                   tol=1e-3)[0]
+    )
+    rng = np.random.default_rng(7)
+    tol = 1e-4 if dtype == np.float32 else 1e-6
+    payload = {}
+    from krylov_tpu import precond
+
+    for tag, method, kw in (
+        ("cg", "cg", {}),
+        ("pcg_jacobi", "pcg", dict(M=precond.jacobi(H))),
+        ("kskipmrr_k4_f64scalars", "kskipmrr",
+         dict(k=4, scalar_dtype=jnp.float64)),
+    ):
+        if "scalar_dtype" in kw:
+            jax.config.update("jax_enable_x64", True)
+        t, res = _time_solve(
+            H, rng, dtype, method=method, tol=tol, maxiter=8000,
+            repeats=1, **kw,
+        )
+        iters = int(res.iterations)
+        payload[tag] = dict(
+            time_to_solution_s=round(t, 6),
+            iterations=iters,
+            converged=bool(res.converged),
+            final_residual=float(np.asarray(res.residual_trace)[res.index]),
+            nnz_per_s_solve=round(H.nnz * iters / t / 1e9, 3),
+        )
+    emit(
+        "4b",
+        n=n, nnz=int(H.nnz), shift=shift, diag_scale_decades=decades,
+        lmax_eigsh=round(lmax, 3), lmin_provable_lower_bound=shift,
+        kappa_measured_n4096_same_generator=1.6e5,
+        tol=tol,
+        dtype=str(np.dtype(dtype)), backend=jax.default_backend(),
+        container=type(H).__name__,
+        **payload,
+    )
+
+
 def row5():
     """Adaptive k-skip MrR, >=10M rows (3-D 7-point Laplacian, 216^3 =
     10,077,696 — the realistic >=10M-row problem family; the 2-D Laplacian
@@ -332,11 +400,11 @@ def row5():
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rows", type=int, nargs="+", default=[1, 2, 3, 4, 5])
+    ap.add_argument("--rows", nargs="+", default=["1", "2", "3", "4", "5"])
     args = ap.parse_args()
     if jax.default_backend() == "cpu":
         jax.config.update("jax_enable_x64", True)
-    table = {1: row1, 2: row2, 3: row3, 4: row4, 5: row5}
+    table = {"1": row1, "2": row2, "3": row3, "4": row4, "4b": row4b, "5": row5}
     for r in args.rows:
         t0 = time.perf_counter()
         try:

@@ -51,9 +51,22 @@ class Context:
     def _scalar(self, v):
         return v.astype(self.scalar_dtype) if self.scalar_dtype is not None else v
 
+    def _wide(self, v):
+        """Upcast a reduction INPUT to ``scalar_dtype``.
+
+        Promoting after the reduction would keep the rounded narrow result
+        (useless for stability); promoting the operands makes the inner
+        products themselves exact to the wide precision.  This is what the
+        k-skip bundle needs: the monomial-basis Gram matrix has condition
+        ~kappa^k, so its entries must carry more than vector precision for
+        the scalar recurrences (reference: all-f64 policy,
+        v3/cpu/common.py:23) — here f32 vectors + f64 Gram/recurrences.
+        """
+        return v.astype(self.scalar_dtype) if self.scalar_dtype is not None else v
+
     def dot(self, u, v):
         """Global inner product <u, v> (one psum when distributed)."""
-        local = jnp.dot(u, v, precision=lax.Precision.HIGHEST)
+        local = jnp.dot(self._wide(u), self._wide(v), precision=lax.Precision.HIGHEST)
         return self._scalar(self.psum(local))
 
     def norm(self, u):
@@ -69,18 +82,24 @@ class Context:
         computed redundantly per rank at v3/cpu/mpi/kskipmrr.py:64-73): a
         single MXU matmul + a single collective.
         """
-        local = jnp.dot(B, B.T, precision=lax.Precision.HIGHEST)
+        Bw = self._wide(B)
+        local = jnp.dot(Bw, Bw.T, precision=lax.Precision.HIGHEST)
         return self._scalar(self.psum(local))
 
     def cross_gram(self, U, V):
         """(m_u, m_v) matrix of inner products between rows of U and rows of V."""
-        local = jnp.dot(U, V.T, precision=lax.Precision.HIGHEST)
+        local = jnp.dot(
+            self._wide(U), self._wide(V).T, precision=lax.Precision.HIGHEST
+        )
         return self._scalar(self.psum(local))
 
     def dot_bundle(self, pairs):
         """Batch of inner products [(u_i, v_i), ...] in one fused reduction."""
         locals_ = jnp.stack(
-            [jnp.dot(u, v, precision=lax.Precision.HIGHEST) for u, v in pairs]
+            [
+                jnp.dot(self._wide(u), self._wide(v), precision=lax.Precision.HIGHEST)
+                for u, v in pairs
+            ]
         )
         return self._scalar(self.psum(locals_))
 

@@ -18,6 +18,10 @@ _EXAMPLES = pathlib.Path(__file__).resolve().parent.parent / "examples"
 def _run(name, extra_env=None):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # The TPU-tunnel sitecustomize registers its backend (and overrides
+    # JAX_PLATFORMS) whenever this var is set; clear it so the example
+    # subprocess genuinely runs on CPU instead of paying remote compiles.
+    env["PALLAS_AXON_POOL_IPS"] = ""
     env["XLA_FLAGS"] = (
         env.get("XLA_FLAGS", "")
         + " --xla_force_host_platform_device_count=8"

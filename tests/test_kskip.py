@@ -68,3 +68,56 @@ def test_kskip_fewer_outer_iterations(k):
     outer = len(info["residual"]) - 1
     updates = info["iterations"]
     assert outer <= -(-updates // (k + 1)) + 1
+
+
+def test_scalar_dtype_f64_stabilizes_f32_kskip():
+    """Mixed precision (f32 vectors + f64 Gram/scalar recurrences) rescues
+    the k-skip recurrence where raw float32 diverges to NaN.
+
+    The monomial-basis Gram has condition ~kappa^k, so its entries need
+    more than vector precision; ``scalar_dtype=f64`` upcasts the Gram
+    operands (context.py::_wide) and runs the recurrences in f64.  This is
+    the TPU answer to the reference's all-float64 policy (reference:
+    v3/cpu/common.py:23) given that TPU f64 vectors are emulated and slow.
+    laplace2d(64) (kappa ~ 1.7e3), k=5: raw f32 NaNs; mixed converges.
+    (k=6 sits on the stability cliff — convergence there flips with XLA CPU
+    reduction order; k=5 is robustly on the stable side for the mixed path.)
+    """
+    import jax.numpy as jnp
+
+    A = laplace2d(64, dtype=np.float32)
+    b = np.random.default_rng(0).standard_normal(A.shape[0]).astype(np.float32)
+
+    _, raw = krylov_tpu.solve(
+        A, b, method="kskipmrr", k=5, tol=1e-4, maxiter=1200
+    )
+    assert not raw["converged"]
+    assert np.isnan(raw["residual"][-1])
+
+    x, mixed = krylov_tpu.solve(
+        A, b, method="kskipmrr", k=5, tol=1e-4, maxiter=1200,
+        scalar_dtype=jnp.float64,
+    )
+    assert mixed["converged"]
+    true_res = np.linalg.norm(
+        np.asarray(A.matvec(x)) - b
+    ) / np.linalg.norm(b)
+    assert true_res < 5e-4
+
+
+def test_scalar_dtype_f64_matches_full_f64_iterations():
+    """At k=4 the mixed-precision iteration count equals full f64's exactly
+    (the Gram — not the basis vectors — was the precision bottleneck)."""
+    import jax.numpy as jnp
+
+    b64 = np.random.default_rng(0).standard_normal(128 * 128)
+    A64 = laplace2d(128, dtype=np.float64)
+    _, full = krylov_tpu.solve(A64, b64, method="kskipmrr", k=4, tol=1e-4,
+                               maxiter=1500)
+    A32 = laplace2d(128, dtype=np.float32)
+    _, mixed = krylov_tpu.solve(
+        A32, b64.astype(np.float32), method="kskipmrr", k=4, tol=1e-4,
+        maxiter=1500, scalar_dtype=jnp.float64,
+    )
+    assert full["converged"] and mixed["converged"]
+    assert mixed["iterations"] == full["iterations"]
