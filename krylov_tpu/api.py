@@ -234,10 +234,13 @@ def _run_fused(A, b, x0, tol, method, maxiter, k=0):
 
 @partial(
     jax.jit,
-    static_argnames=("method", "maxiter", "k", "ctx", "use_fused", "restarts"),
+    static_argnames=(
+        "method", "maxiter", "k", "ctx", "use_fused", "restarts", "emit_carry"
+    ),
 )
 def _run_single(
-    A, b, x0, tol, M, *, method, maxiter, k, ctx, use_fused, restarts
+    A, b, x0, tol, M, carry=None, *,
+    method, maxiter, k, ctx, use_fused, restarts, emit_carry=False,
 ):
     """Single-device solve, optionally followed by ``restarts`` device-side
     defect-correction passes.
@@ -255,6 +258,15 @@ def _run_single(
     def base(bb, x0b, tolb):
         if use_fused:
             return _run_fused(A, bb, x0b, tolb, method, maxiter, k)
+        if carry is not None or emit_carry:
+            # exact chunked continuation: cg/mrr only (guarded in the
+            # planner); the carry threads the recurrence state across
+            # bounded dispatches without a Krylov restart
+            kernel = _get_kernel(method)
+            return kernel(
+                A, bb, x0b, tol=tolb, maxiter=maxiter, ctx=ctx,
+                carry_in=carry, emit_carry=emit_carry,
+            )
         return _run_kernel(A, bb, x0b, tolb, method, maxiter, k, ctx, M)
 
     result = base(b, x0, tol)
@@ -304,9 +316,14 @@ def _with_restart_fields(result, x, iters, true_final, tol):
     )
 
 
-def _plan_single(A, b, x0, tol, method, maxiter, k, M, scalar_dtype, fused, restarts):
+def _plan_single(
+    A, b, x0, tol, method, maxiter, k, M, scalar_dtype, fused, restarts,
+    carry=None, emit_carry=False,
+):
     """(jitted fn, dynamic args, static kwargs) for a single-device solve."""
     use_fused = _fused_eligible(A, method, M, scalar_dtype, fused, maxiter)
+    if carry is not None or emit_carry:
+        assert method in ("cg", "mrr") and not use_fused and not restarts
     ctx = None if use_fused else Context(axis=None, scalar_dtype=scalar_dtype)
     statics = dict(
         method=method,
@@ -315,8 +332,9 @@ def _plan_single(A, b, x0, tol, method, maxiter, k, M, scalar_dtype, fused, rest
         ctx=ctx,
         use_fused=use_fused,
         restarts=restarts,
+        emit_carry=emit_carry,
     )
-    args = (A, b, x0, jnp.asarray(tol, dtype=b.dtype), M)
+    args = (A, b, x0, jnp.asarray(tol, dtype=b.dtype), M, carry)
     return _run_single, args, statics
 
 
@@ -398,6 +416,92 @@ def _aot_compile(fn, args, statics):
     return compiled, dt
 
 
+def _solve_chunked(
+    A, b, x0, tol, method, maxiter, k, M, scalar_dtype, fused, chunk_iters
+):
+    """Chunked solve: repeated ``chunk_iters``-bounded dispatches (see
+    ``solve``'s ``chunk_iters`` doc).  For plain cg/mrr (non-fused) the
+    recurrence state is CARRIED across chunks (``emit_carry``/``carry_in`` on
+    the kernels), so the iteration sequence is bit-for-bit the unbroken
+    solve's — no restart penalty; other methods warm-restart from the carried
+    iterate.  Every chunk reuses ONE cached executable (same shapes/statics),
+    so only the first pays compile.  Returns ``(last_result, merged_info,
+    compile_seconds)``; the merged info carries concatenated traces and
+    ``info["chunks"]``."""
+    import dataclasses
+
+    # Exact carry-chunking beats the fused whole-solve kernel here: chunking
+    # targets LONG solves where restart penalties compound, and the carry
+    # path exists only on the while_loop kernels — so cg/mrr chunk unfused
+    # (exact) unless the caller explicitly forced fused=True.
+    exact = method in ("cg", "mrr") and fused is not True
+    if exact:
+        fused = False
+    use_fused = _fused_eligible(A, method, M, scalar_dtype, fused, chunk_iters)
+    x_cur = x0
+    carry = None
+    if exact:
+        sdt = b.dtype if scalar_dtype is None else jnp.dtype(scalar_dtype)
+        zerov = jnp.zeros_like(b)
+        state0 = (
+            (zerov, zerov, zerov, jnp.zeros((), sdt))  # (x, r, p, gamma)
+            if method == "cg"
+            else (zerov, zerov, zerov, zerov)  # (x, r, y, z)
+        )
+        carry = (state0, jnp.zeros((), bool))
+    compile_total = 0.0
+    merged = None
+    iters_done = 0
+    chunks = 0
+    while True:
+        fn, args, statics = _plan_single(
+            A, b, x_cur, tol, method, chunk_iters, k, M,
+            scalar_dtype, fused, 0, carry=carry, emit_carry=exact,
+        )
+        compiled, ct = _aot_compile(fn, args, statics)
+        compile_total += ct
+        t0 = time.perf_counter()
+        dev_res = jax.block_until_ready(compiled(*args))
+        dt = time.perf_counter() - t0
+        if exact:
+            carry = (dev_res.carry, jnp.ones((), bool))
+            dev_res = dataclasses.replace(dev_res, carry=None)
+        result = jax.device_get(dev_res)
+        seg = build_info(result, dt)
+        chunks += 1
+        if merged is None:
+            merged = seg
+        else:
+            merged["time"] += seg["time"]
+            merged["nosl"] = np.concatenate(
+                [merged["nosl"], seg["nosl"][1:] + merged["nosl"][-1]]
+            )
+            merged["residual"] = np.concatenate(
+                [merged["residual"], seg["residual"][1:]]
+            )
+            if "khistory" in merged and "khistory" in seg:
+                merged["khistory"] = np.concatenate(
+                    [merged["khistory"], seg["khistory"][1:]]
+                )
+            if "final_k" in seg:
+                merged["final_k"] = seg["final_k"]
+            if seg.get("residual_truncated"):
+                merged["residual_truncated"] = True
+            merged["iterations"] += seg["iterations"]
+            merged["converged"] = seg["converged"]
+        iters_done += seg["iterations"]
+        x_cur = jnp.asarray(result.x)
+        if (
+            seg["converged"]
+            or iters_done >= maxiter
+            or seg["iterations"] == 0  # no progress: diverged / stalled
+            or not np.isfinite(seg["residual"][-1])
+        ):
+            break
+    merged["chunks"] = chunks
+    return result, merged, compile_total
+
+
 def solve(
     A,
     b,
@@ -412,6 +516,7 @@ def solve(
     fused=None,
     refine: int = 0,
     restarts: int = 0,
+    chunk_iters: Optional[int] = None,
     verbose: bool = False,
 ):
     """Solve the SPD system ``A x = b``; returns ``(x, info)``.
@@ -437,6 +542,20 @@ def solve(
         the returned ``x`` is then float64 and ``info`` carries
         ``true_residual`` and ``refinements``.  Default 0 preserves exact
         reference semantics (and the working-precision return dtype).
+      chunk_iters: split the solve into dispatches of at most this many
+        iterations each (single-device only).  For plain ``cg``/``mrr`` the
+        full recurrence state is carried across chunks, so the iteration
+        sequence is EXACTLY the unbroken solve's; for the other methods chunk
+        boundaries warm-restart the Krylov recurrence from the carried
+        iterate (standard restarted-Krylov semantics — may need more total
+        iterations).  Residual history, nosl and iteration counts concatenate
+        across chunks; ``info["chunks"]`` records the dispatch count.  Exists
+        because very long single executions are operationally fragile on
+        remote-attached accelerators (a device fault mid-dispatch loses
+        everything); chunking bounds the blast radius of a fault to one
+        chunk.  The reference's host loops are implicitly "chunked" at every
+        iteration (v3/cpu/cg.py:19-40); this is the explicit TPU-side dial
+        for the same robustness.
       verbose: print the reference-style banner (reference: v3/common.py:2-23).
     """
     in_dtype = getattr(A, "dtype", None)
@@ -468,6 +587,7 @@ def solve(
         )
 
     compile_time = None
+    chunk_info = None
     if mesh is None:
         # AOT-compile (cached), then time EXECUTION only — reference
         # semantics: the loop is timed, setup is not (v3/cpu/common.py:9-18).
@@ -479,14 +599,29 @@ def solve(
             if x0 is None
             else jnp.asarray(x0, dtype=A.dtype)
         )
-        fn, args, statics = _plan_single(
-            A, b_dev, x0_dev, tol, method, maxiter_eff, k, M,
-            scalar_dtype, fused, restarts,
-        )
-        compiled, compile_time = _aot_compile(fn, args, statics)
-        t0 = time.perf_counter()
-        result = jax.block_until_ready(compiled(*args))
-        elapsed = time.perf_counter() - t0
+        if chunk_iters is not None and chunk_iters < maxiter_eff:
+            if chunk_iters < 1:
+                raise ValueError(f"chunk_iters must be >= 1, got {chunk_iters}")
+            if restarts:
+                raise ValueError(
+                    "chunk_iters= and restarts= are mutually exclusive "
+                    "(restarts already re-dispatches; chunk the outer solve "
+                    "OR defect-correct, not both)"
+                )
+            result, chunk_info, compile_time = _solve_chunked(
+                A, b_dev, x0_dev, tol, method, maxiter_eff, k, M,
+                scalar_dtype, fused, chunk_iters,
+            )
+            elapsed = chunk_info["time"]
+        else:
+            fn, args, statics = _plan_single(
+                A, b_dev, x0_dev, tol, method, maxiter_eff, k, M,
+                scalar_dtype, fused, restarts,
+            )
+            compiled, compile_time = _aot_compile(fn, args, statics)
+            t0 = time.perf_counter()
+            result = jax.block_until_ready(compiled(*args))
+            elapsed = time.perf_counter() - t0
     else:
         # Mesh path: AOT-compiled through the shared cache too, so
         # info["time"] is execution-only here as well (the first sharded
@@ -495,6 +630,8 @@ def solve(
             raise ValueError(
                 "restarts= is single-device only (use refine= with mesh)"
             )
+        if chunk_iters is not None:
+            raise ValueError("chunk_iters= is single-device only")
         if fused:
             raise ValueError("fused= and mesh= are mutually exclusive")
         from krylov_tpu.dist import solve_sharded
@@ -522,8 +659,11 @@ def solve(
 
     # ONE bulk device→host fetch: per-field np.asarray costs a transfer
     # round-trip each (~20 ms over a remote-device tunnel).
-    result = jax.device_get(result)
-    info = build_info(result, elapsed)
+    if chunk_info is None:
+        result = jax.device_get(result)
+        info = build_info(result, elapsed)
+    else:
+        info = chunk_info  # already host-side, merged across chunks
     if compile_time:
         info["compile_time"] = compile_time
 

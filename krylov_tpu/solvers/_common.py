@@ -78,6 +78,10 @@ class SolveResult:
     # tail was overwritten in the last slot (fused path with
     # iterations > kernels.fused.TRACE_CAP; None where not applicable).
     trace_truncated: Optional[jax.Array] = None
+    # Opaque solver-state tuple for EXACT chunked continuation (cg/mrr with
+    # ``emit_carry=True``): feed back via ``carry_in=(carry, valid)`` and the
+    # next chunk resumes the recurrence bit-for-bit — no Krylov restart.
+    carry: Optional[tuple] = None
 
 
 jax.tree_util.register_dataclass(
@@ -93,6 +97,7 @@ jax.tree_util.register_dataclass(
         "final_k",
         "true_residual",
         "trace_truncated",
+        "carry",
     ],
     meta_fields=[],
 )

@@ -30,13 +30,26 @@ def cg_kernel(
     tol: float = 1e-5,
     maxiter: int,
     ctx: Context = DEFAULT_CONTEXT,
+    carry_in=None,
+    emit_carry: bool = False,
 ) -> SolveResult:
+    """``carry_in=((x, r, p, gamma), valid)`` resumes the recurrence exactly
+    from a previous chunk's ``result.carry`` (when the traced ``valid`` is
+    True); ``emit_carry=True`` returns the post-loop state in
+    ``result.carry``.  Used by :func:`krylov_tpu.api.solve`'s ``chunk_iters``
+    for exact (non-restarted) chunked dispatch."""
     sdt = scalar_dtype_of(ctx, b)
     b_norm = ctx.norm(b)
 
     r0 = b - ctx.matvec(A, x0)
     p0 = r0
     gamma0 = ctx.dot(r0, r0)
+
+    if carry_in is not None:
+        (xc, rc, pc, gammac), valid = carry_in
+        x0, r0, p0, gamma0 = tree_select(
+            valid, (xc, rc, pc, gammac), (x0, r0, p0, gamma0)
+        )
 
     res_trace = jnp.zeros(maxiter + 1, dtype=sdt)
     i0 = jnp.zeros((), jnp.int32)
@@ -82,4 +95,5 @@ def cg_kernel(
         iterations=i,
         index=i,
         converged=converged,
+        carry=(x, r, p, gamma) if emit_carry else None,
     )

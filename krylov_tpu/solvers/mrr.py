@@ -39,7 +39,13 @@ def mrr_kernel(
     tol: float = 1e-5,
     maxiter: int,
     ctx: Context = DEFAULT_CONTEXT,
+    carry_in=None,
+    emit_carry: bool = False,
 ) -> SolveResult:
+    """``carry_in=((x, r, y, z), valid)`` resumes the recurrence exactly from
+    a previous chunk's ``result.carry`` (skipping the initial half-iteration
+    when the traced ``valid`` is True); ``emit_carry=True`` returns the
+    post-loop state in ``result.carry``.  See ``solve(chunk_iters=)``."""
     sdt = scalar_dtype_of(ctx, b)
     b_norm = ctx.norm(b)
 
@@ -58,6 +64,13 @@ def mrr_kernel(
     x = x0 - z
 
     i0 = jnp.ones((), jnp.int32)
+    if carry_in is not None:
+        # Carried chunk: keep the carried recurrence state (no half-iteration
+        # re-init) and start the local trace/update count at 0 — the body
+        # records the carried residual in slot 0.
+        (xc, rc, yc, zc), valid = carry_in
+        x, r, y, z = tree_select(valid, (xc, rc, yc, zc), (x, r, y, z))
+        i0 = jnp.where(valid, 0, i0).astype(jnp.int32)
     carry0 = (x, r, y, z, i0, jnp.zeros((), bool), res_trace)
 
     def cond(c):
@@ -102,4 +115,5 @@ def mrr_kernel(
         iterations=i,
         index=i,
         converged=converged,
+        carry=(x, r, y, z) if emit_carry else None,
     )

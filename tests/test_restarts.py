@@ -87,3 +87,76 @@ def test_solve_restarts_info(rng):
     x, info = krylov_tpu.solve(A, b, method="mrr", tol=1e-5, restarts=1)
     assert "true_residual" in info
     assert info["converged"] == (info["true_residual"] < 1e-5)
+
+
+# --- chunk_iters: warm-restarted bounded dispatches ---------------------
+
+
+@pytest.mark.parametrize("method", ["cg", "mrr", "kskipmrr"])
+def test_chunked_solve_converges(method, rng):
+    A = laplace2d(32)
+    b = rng.standard_normal(A.shape[0]).astype(A.dtype)
+    kw = dict(k=2) if method == "kskipmrr" else {}
+    x, info = krylov_tpu.solve(
+        A, b, method=method, tol=1e-5, maxiter=3000, chunk_iters=30, **kw
+    )
+    assert info["converged"]
+    assert info["chunks"] > 1
+    assert _true_rel(A, x, b) < 1e-4
+    # concatenated histories stay consistent with the iteration count
+    assert len(info["residual"]) == len(info["nosl"])
+    assert np.all(np.diff(info["nosl"]) >= 0)
+
+
+def test_chunked_solve_respects_maxiter(rng):
+    A = laplace2d(32)
+    b = rng.standard_normal(A.shape[0]).astype(A.dtype)
+    x, info = krylov_tpu.solve(
+        A, b, method="cg", tol=1e-30, maxiter=25, chunk_iters=10
+    )
+    assert not info["converged"]
+    # stops at the first chunk boundary at/after maxiter
+    assert 25 <= info["iterations"] <= 30
+    assert info["chunks"] == 3
+
+
+def test_chunked_matches_unchunked_when_chunk_large(rng):
+    A = laplace2d(24)
+    b = rng.standard_normal(A.shape[0]).astype(A.dtype)
+    x1, i1 = krylov_tpu.solve(A, b, method="cg", tol=1e-5, maxiter=500)
+    x2, i2 = krylov_tpu.solve(
+        A, b, method="cg", tol=1e-5, maxiter=500, chunk_iters=500
+    )
+    # chunk >= maxiter takes the plain single-dispatch path
+    assert "chunks" not in i2
+    assert i1["iterations"] == i2["iterations"]
+    np.testing.assert_allclose(x1, x2, rtol=1e-6)
+
+
+def test_chunked_rejected_with_restarts_and_mesh(rng):
+    A = laplace2d(16)
+    b = rng.standard_normal(A.shape[0]).astype(A.dtype)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        krylov_tpu.solve(A, b, chunk_iters=10, restarts=1)
+    from krylov_tpu.dist import make_mesh
+
+    with pytest.raises(ValueError, match="single-device"):
+        krylov_tpu.solve(A, b, mesh=make_mesh(), chunk_iters=10)
+
+
+@pytest.mark.parametrize("method", ["cg", "mrr"])
+def test_chunked_cg_mrr_is_exact_no_restart_penalty(method, rng):
+    """cg/mrr carry the full recurrence state across chunk boundaries
+    (kernels' carry_in/emit_carry): identical iteration count and residual
+    history to the unbroken solve — NOT restarted-Krylov semantics."""
+    A = laplace2d(48)
+    b = rng.standard_normal(A.shape[0]).astype(A.dtype)
+    x1, i1 = krylov_tpu.solve(A, b, method=method, tol=1e-5, maxiter=2000)
+    x2, i2 = krylov_tpu.solve(
+        A, b, method=method, tol=1e-5, maxiter=2000, chunk_iters=40
+    )
+    assert i2["chunks"] >= 3
+    assert i1["iterations"] == i2["iterations"]
+    np.testing.assert_allclose(
+        i1["residual"], i2["residual"], rtol=1e-5, atol=0
+    )
