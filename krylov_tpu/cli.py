@@ -114,7 +114,7 @@ def _cmd_solve(args) -> int:
     # CLI flags override config values
     for key in (
         "matrix", "b", "method", "k", "tol", "maxiter", "dtype",
-        "refine", "precond", "out",
+        "refine", "precond", "out", "chunk_iters",
     ):
         v = getattr(args, key, None)
         if v is not None:
@@ -156,6 +156,9 @@ def _cmd_solve(args) -> int:
         M=M,
         mesh=mesh,
         refine=int(cfg.get("refine", 0)),
+        chunk_iters=(
+            int(cfg["chunk_iters"]) if cfg.get("chunk_iters") else None
+        ),
         verbose=not args.quiet,
     )
 
@@ -233,6 +236,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--dtype", choices=["float32", "float64"])
     s.add_argument("--refine", type=int,
                    help="mixed-precision refinement steps")
+    s.add_argument("--chunk-iters", dest="chunk_iters", type=int,
+                   help="bound each device dispatch to this many iterations "
+                   "(exact state carry for cg/mrr; warm restart otherwise)")
     s.add_argument("--precond", choices=["none", "jacobi", "chebyshev"])
     s.add_argument("--mesh", action="store_true",
                    help="row-partition over all devices")

@@ -42,6 +42,7 @@ from krylov_tpu.sparse.formats import (
     EllMatrix,
     HybMatrix,
     StencilMatrix,
+    gather_rows,
 )
 
 
@@ -267,11 +268,11 @@ def _allgather_matvec(op: ShardedOperator, x_local, ctx):
     x_full = lax.all_gather(x_local, ctx.axis, tiled=True)
     if op.kind == "ell":
         data_local, indices_local = op.arrays
-        return jnp.sum(data_local * jnp.take(x_full, indices_local, axis=0), axis=1)
+        return jnp.sum(data_local * gather_rows(x_full, indices_local), axis=1)
     if op.kind == "hyb":
         ell_data, ell_idx, tail_rows, tail_data, tail_idx = op.arrays
-        y = jnp.sum(ell_data * jnp.take(x_full, ell_idx, axis=0), axis=1)
-        extra = jnp.sum(tail_data * jnp.take(x_full, tail_idx, axis=0), axis=1)
+        y = jnp.sum(ell_data * gather_rows(x_full, ell_idx), axis=1)
+        extra = jnp.sum(tail_data * gather_rows(x_full, tail_idx), axis=1)
         # tail_rows are LOCAL row ids (shard_operator re-bases them).
         return y.at[tail_rows].add(extra)
     if op.kind == "dense":

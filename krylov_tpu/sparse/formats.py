@@ -37,6 +37,44 @@ def _register_dataclass_pytree(cls, data_fields, meta_fields):
     return cls
 
 
+# Width of the slice-gather trick in gather_rows (measured sweet spot on
+# v5e: 16 beats 8 and 32).  Tests monkeypatch _FORCE_SLICE_GATHER to
+# exercise the TPU formulation on the CPU backend.
+_GATHER_SLICE_W = 16
+_FORCE_SLICE_GATHER = False
+
+
+def gather_rows(x: jax.Array, idx: jax.Array) -> jax.Array:
+    """``x[idx]`` for integer ``idx`` of any shape — the irregular-SpMV
+    gather primitive.
+
+    On TPU, XLA lowers an element gather to ~7.2 ns per gathered ELEMENT
+    (serialized addressing; measured on v5e, benchmarks/gather_probe.py),
+    while gathers of contiguous W-wide slices cost ~the same per SLICE.
+    So instead of gathering scalars, gather the W-aligned slice CONTAINING
+    each element and select in-lane with an iota compare (pure VPU work that
+    XLA fuses into the consumer): measured 2.6x over the element gather at
+    W=16.  ``jnp.take_along_axis`` for the select is 5x SLOWER than the
+    element gather (it lowers to another elementwise gather) — hence the
+    one-hot multiply-sum.
+
+    On CPU the native element gather is already fast (and the W-wide form
+    does W times the arithmetic), so the plain form is kept there.  The
+    reference delegates this to scipy/cuSPARSE CSR (v3/cpu/cg.py:27,
+    v3/gpu/common.py:95-105); fast addressing is the hardware's job there,
+    the layout's job here.
+    """
+    if not (_FORCE_SLICE_GATHER or jax.default_backend() == "tpu"):
+        return jnp.take(x, idx, axis=0)
+    w = _GATHER_SLICE_W
+    n = x.shape[0]
+    n_pad = -(-n // w) * w
+    xp = jnp.pad(x, (0, n_pad - n)) if n_pad != n else x
+    slices = jnp.take(xp.reshape(n_pad // w, w), idx // w, axis=0)
+    sel = (idx[..., None] % w) == jnp.arange(w, dtype=idx.dtype)
+    return jnp.sum(slices * sel.astype(x.dtype), axis=-1)
+
+
 @dataclasses.dataclass(frozen=True)
 class DiaMatrix:
     """Banded matrix in row-indexed diagonal storage.
@@ -127,8 +165,7 @@ class EllMatrix:
         return int(np.count_nonzero(np.asarray(self.data)))
 
     def matvec(self, x: jax.Array) -> jax.Array:
-        gathered = jnp.take(x, self.indices, axis=0)
-        return jnp.sum(self.data * gathered, axis=1)
+        return jnp.sum(self.data * gather_rows(x, self.indices), axis=1)
 
     def todense(self) -> np.ndarray:
         n, m = self.shape
@@ -175,13 +212,15 @@ class HybMatrix:
     variable length cannot map onto static-shape XLA, and this split is the
     TPU-native answer.
 
-    The matvec deliberately uses XLA's native gather/scatter rather than a
-    Pallas kernel: Mosaic exposes only the hardware's 2-D sublane-per-lane
-    gather (``out[i,j] = x[idx[i,j], j]``), and an arbitrary cross-lane
-    vector gather has no single-instruction form on the TPU — emulating it
-    in-kernel degenerates to a 128-way lane decomposition that cannot beat
-    XLA's tuned gather lowering.  For irregular sparsity the TPU win lives
-    in the LAYOUT (this split), not in hand-written gather code; the
+    The matvec uses :func:`gather_rows` (W-wide slice gather + in-lane
+    one-hot select — measured 2.6x over XLA's element gather on v5e; see its
+    docstring) rather than a Pallas kernel: Mosaic exposes only the
+    hardware's 2-D sublane-per-lane gather (``out[i,j] = x[idx[i,j], j]``,
+    and ``jnp.take_along_axis`` does not lower in a TPU Pallas kernel —
+    probed, bare Mosaic AssertionError), so an arbitrary cross-lane vector
+    gather has no in-kernel form that beats the XLA slice-gather
+    formulation.  For irregular sparsity the TPU win lives in the LAYOUT
+    (this split) and the gather SHAPE (slices, not elements); the
     structured-grid containers (DIA/Stencil) are where Pallas kernels pay
     (kernels/stencil.py, kernels/fused*.py).
     """
@@ -217,11 +256,9 @@ class HybMatrix:
         return self.ell_data.size + self.tail_data.size
 
     def matvec(self, x: jax.Array) -> jax.Array:
-        y = jnp.sum(
-            self.ell_data * jnp.take(x, self.ell_indices, axis=0), axis=1
-        )
+        y = jnp.sum(self.ell_data * gather_rows(x, self.ell_indices), axis=1)
         extra = jnp.sum(
-            self.tail_data * jnp.take(x, self.tail_indices, axis=0), axis=1
+            self.tail_data * gather_rows(x, self.tail_indices), axis=1
         )
         return y.at[self.tail_rows].add(extra)
 

@@ -119,3 +119,45 @@ def test_pad_to_multiple(kind, rng):
     np.testing.assert_allclose(dense_p[:n, n:], 0.0)
     np.testing.assert_allclose(dense_p[n:, n:], np.eye(A_p.shape[0] - n))
     np.testing.assert_allclose(b_p[n:], 0.0)
+
+
+def test_gather_rows_slice_formulation_matches_element_gather(rng):
+    """The TPU slice-gather formulation (W-wide slice + one-hot select) must
+    be exact vs the plain element gather, including at non-multiple-of-W
+    table sizes and duplicate/boundary indices."""
+    from krylov_tpu.sparse import formats
+
+    x = jnp.asarray(rng.standard_normal(1003).astype(np.float32))
+    idx = np.concatenate(
+        [
+            rng.integers(0, 1003, size=(64, 7)),
+            np.array([[0] * 7, [1002] * 7]),  # boundary + duplicates
+        ]
+    ).astype(np.int32)
+    idx = jnp.asarray(idx)
+    plain = jnp.take(x, idx, axis=0)
+    old = formats._FORCE_SLICE_GATHER
+    formats._FORCE_SLICE_GATHER = True
+    try:
+        sliced = formats.gather_rows(x, idx)
+    finally:
+        formats._FORCE_SLICE_GATHER = old
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(sliced))
+
+
+def test_hyb_matvec_with_forced_slice_gather(rng):
+    """Full HYB matvec through the slice-gather path vs scipy ground truth."""
+    from krylov_tpu.sparse import formats
+    from krylov_tpu.sparse.convert import to_hyb
+    from krylov_tpu.sparse.fixtures import powerlaw_spd
+
+    A_sp = powerlaw_spd(512, seed=3)
+    H = to_hyb(A_sp, dtype=np.float64)
+    x = rng.standard_normal(512)
+    old = formats._FORCE_SLICE_GATHER
+    formats._FORCE_SLICE_GATHER = True
+    try:
+        y = np.asarray(H.matvec(jnp.asarray(x)))
+    finally:
+        formats._FORCE_SLICE_GATHER = old
+    np.testing.assert_allclose(y, A_sp @ x, rtol=1e-12, atol=1e-12)
