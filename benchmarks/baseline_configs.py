@@ -93,7 +93,7 @@ def _solve_chunked_timed(A, b_rng, dtype, chunk_iters=64, **kw):
     return info["time"], info
 
 
-
+def row1():
     """CG, 1-D Poisson tridiagonal, N=10k, float64: iterations-to-tol and
     residual-history agreement with scipy.sparse.linalg.cg."""
     import scipy.sparse as sp
