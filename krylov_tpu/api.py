@@ -89,6 +89,9 @@ _METHOD_NAMES = {
 
 _KSKIP_METHODS = {"kskipcg", "kskipmrr", "adaptivekskipmrr"}
 _PRECONDITIONED_METHODS = {"pcg", "chronopoulos_gear", "gropp", "pipelined_cg"}
+# Methods whose kernels can thread their full recurrence state across
+# chunked dispatches (carry_in/emit_carry) — chunk_iters is EXACT for these.
+_CARRY_METHODS = {"cg", "mrr", "kskipcg", "kskipmrr", "adaptivekskipmrr"}
 
 
 @partial(jax.jit, static_argnames=("method", "maxiter", "k", "ctx"))
@@ -259,14 +262,17 @@ def _run_single(
         if use_fused:
             return _run_fused(A, bb, x0b, tolb, method, maxiter, k)
         if carry is not None or emit_carry:
-            # exact chunked continuation: cg/mrr only (guarded in the
-            # planner); the carry threads the recurrence state across
-            # bounded dispatches without a Krylov restart
+            # exact chunked continuation (guarded in the planner); the carry
+            # threads the recurrence state across bounded dispatches without
+            # a Krylov restart
             kernel = _get_kernel(method)
-            return kernel(
-                A, bb, x0b, tol=tolb, maxiter=maxiter, ctx=ctx,
+            kw = dict(
+                tol=tolb, maxiter=maxiter, ctx=ctx,
                 carry_in=carry, emit_carry=emit_carry,
             )
+            if method in _KSKIP_METHODS:
+                kw["k"] = k
+            return kernel(A, bb, x0b, **kw)
         return _run_kernel(A, bb, x0b, tolb, method, maxiter, k, ctx, M)
 
     result = base(b, x0, tol)
@@ -323,7 +329,7 @@ def _plan_single(
     """(jitted fn, dynamic args, static kwargs) for a single-device solve."""
     use_fused = _fused_eligible(A, method, M, scalar_dtype, fused, maxiter)
     if carry is not None or emit_carry:
-        assert method in ("cg", "mrr") and not use_fused and not restarts
+        assert method in _CARRY_METHODS and not use_fused and not restarts
     ctx = None if use_fused else Context(axis=None, scalar_dtype=scalar_dtype)
     statics = dict(
         method=method,
@@ -432,9 +438,9 @@ def _solve_chunked(
 
     # Exact carry-chunking beats the fused whole-solve kernel here: chunking
     # targets LONG solves where restart penalties compound, and the carry
-    # path exists only on the while_loop kernels — so cg/mrr chunk unfused
-    # (exact) unless the caller explicitly forced fused=True.
-    exact = method in ("cg", "mrr") and fused is not True
+    # path exists only on the while_loop kernels — so carry-capable methods
+    # chunk unfused (exact) unless the caller explicitly forced fused=True.
+    exact = method in _CARRY_METHODS and fused is not True
     if exact:
         fused = False
     use_fused = _fused_eligible(A, method, M, scalar_dtype, fused, chunk_iters)
@@ -442,12 +448,18 @@ def _solve_chunked(
     carry = None
     if exact:
         sdt = b.dtype if scalar_dtype is None else jnp.dtype(scalar_dtype)
-        zerov = jnp.zeros_like(b)
-        state0 = (
-            (zerov, zerov, zerov, jnp.zeros((), sdt))  # (x, r, p, gamma)
-            if method == "cg"
-            else (zerov, zerov, zerov, zerov)  # (x, r, y, z)
-        )
+        z = jnp.zeros_like(b)
+        state0 = {
+            "cg": (z, z, z, jnp.zeros((), sdt)),  # (x, r, p, gamma)
+            "mrr": (z, z, z, z),  # (x, r, y, z)
+            "kskipcg": (z, z, z),  # (x, r, p)
+            "kskipmrr": (z, z, z, z, z),  # (x, r, y, z, Ar1)
+            # (x, r, y, z, Ar1, pre_x, pre_res, k_cur)
+            "adaptivekskipmrr": (
+                z, z, z, z, z, z,
+                jnp.zeros((), sdt), jnp.zeros((), jnp.int32),
+            ),
+        }[method]
         carry = (state0, jnp.zeros((), bool))
     compile_total = 0.0
     merged = None

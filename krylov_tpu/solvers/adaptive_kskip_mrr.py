@@ -59,7 +59,14 @@ def adaptivekskipmrr_kernel(
     maxiter: int,
     k: int = 0,
     ctx: Context = DEFAULT_CONTEXT,
+    carry_in=None,
+    emit_carry: bool = False,
 ) -> SolveResult:
+    """``carry_in=((x, r, y, z, Ar1, pre_x, pre_res, k_cur), valid)`` resumes
+    exactly from a previous chunk's ``result.carry`` — including the rollback
+    snapshot (pre_x, pre_res) and the ADAPTED traced k, so a rollback
+    spanning a chunk boundary behaves identically to the unbroken solve;
+    ``emit_carry=True`` returns that state.  See ``solve(chunk_iters=)``."""
     k_max = max(int(k), 1)
     sdt = scalar_dtype_of(ctx, b)
     vdt = b.dtype
@@ -100,17 +107,33 @@ def adaptivekskipmrr_kernel(
     d_rows = np.array([KA + j // 2 for j in range(n_delta)])
     d_cols = np.array([KA + j // 2 + j % 2 for j in range(n_delta)])
 
+    i0 = jnp.ones((), jnp.int32)
+    index0 = jnp.ones((), jnp.int32)
+    pre_x, pre_res = x, res0
+    k_cur = jnp.asarray(k, jnp.int32)
+    if carry_in is not None:
+        (xc, rc, yc, zc, Ar1c, pre_xc, pre_resc, kc), valid = carry_in
+        x, r, y, z, Ar1, pre_x, pre_res, k_cur = tree_select(
+            valid,
+            (xc, rc, yc, zc, Ar1c, pre_xc, pre_resc, kc),
+            (x, r, y, z, Ar1, pre_x, pre_res, k_cur),
+        )
+        i0 = jnp.where(valid, 0, i0).astype(jnp.int32)
+        index0 = jnp.where(valid, 0, index0).astype(jnp.int32)
+        # khistory slot 0 must report the carried (possibly adapted) k
+        k_trace = k_trace.at[0].set(k_cur).at[1].set(k_cur)
+
     carry0 = dict(
         x=x,
         r=r,
         y=y,
         z=z,
         Ar1=Ar1,
-        pre_x=x,
-        pre_res=res0,
-        k=jnp.asarray(k, jnp.int32),
-        i=jnp.ones((), jnp.int32),
-        index=jnp.ones((), jnp.int32),
+        pre_x=pre_x,
+        pre_res=pre_res,
+        k=k_cur,
+        i=i0,
+        index=index0,
         converged=jnp.zeros((), bool),
         rtrace=res_trace,
         ntrace=nosl_trace,
@@ -283,4 +306,10 @@ def adaptivekskipmrr_kernel(
         converged=out["converged"],
         k_trace=out["ktrace"],
         final_k=out["k"],
+        carry=(
+            out["x"], out["r"], out["y"], out["z"], out["Ar1"],
+            out["pre_x"], out["pre_res"], out["k"],
+        )
+        if emit_carry
+        else None,
     )

@@ -49,7 +49,12 @@ def kskipcg_kernel(
     maxiter: int,
     k: int = 0,
     ctx: Context = DEFAULT_CONTEXT,
+    carry_in=None,
+    emit_carry: bool = False,
 ) -> SolveResult:
+    """``carry_in=((x, r, p), valid)`` resumes exactly from a previous
+    chunk's ``result.carry``; ``emit_carry=True`` returns the post-loop
+    state.  See ``solve(chunk_iters=)``."""
     if k < 0:
         raise ValueError(f"k must be >= 0, got {k}")
     sdt = scalar_dtype_of(ctx, b)
@@ -58,6 +63,9 @@ def kskipcg_kernel(
 
     r0 = b - ctx.matvec(A, x0)
     p0 = r0
+    if carry_in is not None:
+        (xc, rc, pc), valid = carry_in
+        x0, r0, p0 = tree_select(valid, (xc, rc, pc), (x0, r0, p0))
 
     # Outer iterations advance i by k+1; the trace is indexed by outer count.
     max_outer = -(-maxiter // (k + 1))  # ceil
@@ -149,4 +157,5 @@ def kskipcg_kernel(
         iterations=i,
         index=index,
         converged=converged,
+        carry=(x, r, p) if emit_carry else None,
     )

@@ -57,7 +57,13 @@ def kskipmrr_kernel(
     maxiter: int,
     k: int = 0,
     ctx: Context = DEFAULT_CONTEXT,
+    carry_in=None,
+    emit_carry: bool = False,
 ) -> SolveResult:
+    """``carry_in=((x, r, y, z, Ar1), valid)`` resumes exactly from a
+    previous chunk's ``result.carry`` (the outer iteration is fully
+    determined by these five vectors); ``emit_carry=True`` returns them.
+    See ``solve(chunk_iters=)``."""
     if k < 0:
         raise ValueError(f"k must be >= 0, got {k}")
     sdt = scalar_dtype_of(ctx, b)
@@ -83,14 +89,27 @@ def kskipmrr_kernel(
     # Seed the carried Ar[1] (see module docstring).
     Ar1 = ctx.matvec(A, r)
 
+    i0 = jnp.ones((), jnp.int32)
+    index0 = jnp.ones((), jnp.int32)
+    if carry_in is not None:
+        # Carried chunk: keep the carried state (no init half-iteration) and
+        # start local counters at 0 — the body records the carried residual
+        # in trace slot 0.
+        (xc, rc, yc, zc, Ar1c), valid = carry_in
+        x, r, y, z, Ar1 = tree_select(
+            valid, (xc, rc, yc, zc, Ar1c), (x, r, y, z, Ar1)
+        )
+        i0 = jnp.where(valid, 0, i0).astype(jnp.int32)
+        index0 = jnp.where(valid, 0, index0).astype(jnp.int32)
+
     carry0 = (
         x,
         r,
         y,
         z,
         Ar1,
-        jnp.ones((), jnp.int32),  # i
-        jnp.ones((), jnp.int32),  # index
+        i0,
+        index0,
         jnp.zeros((), bool),
         res_trace,
         nosl_trace,
@@ -181,4 +200,5 @@ def kskipmrr_kernel(
         iterations=i,
         index=index,
         converged=converged,
+        carry=(x, r, y, z, Ar1) if emit_carry else None,
     )

@@ -144,19 +144,32 @@ def test_chunked_rejected_with_restarts_and_mesh(rng):
         krylov_tpu.solve(A, b, mesh=make_mesh(), chunk_iters=10)
 
 
-@pytest.mark.parametrize("method", ["cg", "mrr"])
-def test_chunked_cg_mrr_is_exact_no_restart_penalty(method, rng):
-    """cg/mrr carry the full recurrence state across chunk boundaries
-    (kernels' carry_in/emit_carry): identical iteration count and residual
-    history to the unbroken solve — NOT restarted-Krylov semantics."""
+@pytest.mark.parametrize(
+    "method,kw",
+    [
+        ("cg", {}),
+        ("mrr", {}),
+        ("kskipcg", {"k": 3}),
+        ("kskipmrr", {"k": 3}),
+        ("adaptivekskipmrr", {"k": 3}),
+    ],
+)
+def test_chunked_carry_methods_are_exact(method, kw, rng):
+    """The whole while_loop family carries its full recurrence state across
+    chunk boundaries (kernels' carry_in/emit_carry): identical iteration
+    count, residual history, and khistory to the unbroken solve — NOT
+    restarted-Krylov semantics."""
     A = laplace2d(48)
     b = rng.standard_normal(A.shape[0]).astype(A.dtype)
-    x1, i1 = krylov_tpu.solve(A, b, method=method, tol=1e-5, maxiter=2000)
+    x1, i1 = krylov_tpu.solve(A, b, method=method, tol=1e-5, maxiter=3000, **kw)
     x2, i2 = krylov_tpu.solve(
-        A, b, method=method, tol=1e-5, maxiter=2000, chunk_iters=40
+        A, b, method=method, tol=1e-5, maxiter=3000, chunk_iters=40, **kw
     )
-    assert i2["chunks"] >= 3
+    assert i2["chunks"] >= 2
     assert i1["iterations"] == i2["iterations"]
+    assert len(i1["residual"]) == len(i2["residual"])
     np.testing.assert_allclose(
         i1["residual"], i2["residual"], rtol=1e-5, atol=0
     )
+    if "khistory" in i1:
+        np.testing.assert_array_equal(i1["khistory"], i2["khistory"])
