@@ -40,7 +40,13 @@ def _run(name, extra_env=None):
 
 
 @pytest.mark.parametrize(
-    "name", ["basic_solve.py", "distributed_solve.py", "preconditioned.py"]
+    "name",
+    [
+        "basic_solve.py",
+        "distributed_solve.py",
+        "preconditioned.py",
+        "production_long_solve.py",
+    ],
 )
 def test_example_runs(name):
     out = _run(name)
@@ -51,3 +57,6 @@ def test_example_runs(name):
         assert "true relative residual" in out
     if name == "preconditioned.py":
         assert out.count("converged=True") == 12
+    if name == "production_long_solve.py":
+        assert "matches unbroken solve" in out
+        assert "resumed: converged=True" in out
