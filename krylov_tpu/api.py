@@ -367,7 +367,11 @@ def solve_device(
     the solve, all inside the same dispatch (see :func:`_run_single`).  The
     returned result then carries ``true_residual`` and ``converged`` reflects
     the true residual.  Single-device only."""
+    from krylov_tpu.sparse.formats import to_device
+
     A = as_operator(A)
+    if mesh is None:
+        A = to_device(A)  # containers are host-lazy; commit leaves once
     b = jnp.asarray(b, dtype=A.dtype)
     n = b.shape[0]
     if maxiter is None:
@@ -585,7 +589,16 @@ def solve(
             "numerics, or pass scalar_dtype=jnp.float64 for mixed precision",
             stacklevel=2,
         )
-    A = as_operator(A)
+    A = A_host = as_operator(A)
+    if mesh is None:
+        from krylov_tpu.sparse.formats import to_device
+
+        # Containers are host-lazy (numpy leaves); commit once so every
+        # chunk/restart dispatch reuses the same device buffers.  The mesh
+        # path shards the host arrays itself (dist/solve.py).  ``A_host``
+        # keeps the pre-commit operator so the ``refine=`` path's host-f64
+        # matvecs don't pull the operator back through the device.
+        A = to_device(A)
     if np.asarray(b).ndim != 1 or A.shape[0] != A.shape[1] or A.shape[0] != np.asarray(b).shape[0]:
         raise ValueError(
             f"need a square system: A has shape {A.shape}, b has shape "
@@ -699,12 +712,12 @@ def solve(
 
         refinements = 0
         true_rel = float(
-            np.linalg.norm(b64 - host_matvec64(A, x64)) / b_norm
+            np.linalg.norm(b64 - host_matvec64(A_host, x64)) / b_norm
         )
         for _ in range(refine):
             if not np.isfinite(true_rel) or true_rel < tol:
                 break
-            r64 = b64 - host_matvec64(A, x64)
+            r64 = b64 - host_matvec64(A_host, x64)
             r_norm = np.linalg.norm(r64)
             # ask the correction solve for just enough: tol on the ORIGINAL
             # system means tol * b_norm / r_norm relative to the defect
@@ -730,7 +743,7 @@ def solve(
             x64 = x64 + np.asarray(result.x, dtype=np.float64)
             refinements += 1
             true_rel = float(
-                np.linalg.norm(b64 - host_matvec64(A, x64)) / b_norm
+                np.linalg.norm(b64 - host_matvec64(A_host, x64)) / b_norm
             )
             info["time"] += seg["time"]
             info["nosl"] = np.concatenate(
@@ -798,6 +811,10 @@ def solve_batched(
     per system with zero host dispatch in between).
     """
     A = as_operator(A)
+    if mesh is None:
+        from krylov_tpu.sparse.formats import to_device
+
+        A = to_device(A)
     B = jnp.asarray(B, dtype=A.dtype)
     if B.ndim != 2 or B.shape[1] != A.shape[0]:
         raise ValueError(f"B must be (batch, N={A.shape[0]}), got {B.shape}")

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
 from krylov_tpu.sparse.formats import (
@@ -116,7 +115,7 @@ def to_dia(A, dtype=None) -> DiaMatrix:
     d_idx = np.array([off_index[int(o)] for o in (cols - rows)], dtype=np.int64)
     data[d_idx, rows] = vals
     return DiaMatrix(
-        data=jnp.asarray(data), offsets=tuple(int(o) for o in offs), shape=(n, m)
+        data=data, offsets=tuple(int(o) for o in offs), shape=(n, m)
     )
 
 
@@ -147,7 +146,7 @@ def to_ell(A, dtype=None, width: Optional[int] = None) -> EllMatrix:
     w = max(w, 1)
     dtype = dtype or csr.data.dtype
     data, indices, _, _ = _ell_arrays(csr, w, dtype)
-    return EllMatrix(data=jnp.asarray(data), indices=jnp.asarray(indices), shape=(n, m))
+    return EllMatrix(data=data, indices=indices, shape=(n, m))
 
 
 def to_hyb(
@@ -196,11 +195,11 @@ def to_hyb(
         tail_data[tr, ts] = csr.data[over]
         tail_indices[tr, ts] = csr.indices[over]
     return HybMatrix(
-        ell_data=jnp.asarray(data),
-        ell_indices=jnp.asarray(indices),
-        tail_rows=jnp.asarray(tail_rows),
-        tail_data=jnp.asarray(tail_data),
-        tail_indices=jnp.asarray(tail_indices),
+        ell_data=data,
+        ell_indices=indices,
+        tail_rows=tail_rows,
+        tail_data=tail_data,
+        tail_indices=tail_indices,
         shape=(n, m),
     )
 
@@ -210,7 +209,7 @@ def to_dense(A, dtype=None) -> DenseMatrix:
         arr = A.toarray()
     else:
         arr = np.asarray(A)
-    return DenseMatrix(jnp.asarray(arr, dtype=dtype))
+    return DenseMatrix(np.asarray(arr, dtype=dtype))
 
 
 def pad_to_multiple(A: Operator, b: np.ndarray, multiple: int) -> Tuple[Operator, np.ndarray, int]:
@@ -244,11 +243,7 @@ def pad_to_multiple(A: Operator, b: np.ndarray, multiple: int) -> Tuple[Operator
             new = np.concatenate([np.zeros((1, n + pad), new.dtype), new], axis=0)
             d0 = 0
         new[d0, n:] = 1.0
-        return (
-            DiaMatrix(jnp.asarray(new), offsets, (n + pad, n + pad)),
-            b_p,
-            n,
-        )
+        return (DiaMatrix(new, offsets, (n + pad, n + pad)), b_p, n)
     if isinstance(A, EllMatrix):
         data = np.asarray(A.data)
         idx = np.asarray(A.indices)
@@ -260,7 +255,7 @@ def pad_to_multiple(A: Operator, b: np.ndarray, multiple: int) -> Tuple[Operator
         new_data[n:, 0] = 1.0
         new_idx[n:, 0] = np.arange(n, n + pad, dtype=idx.dtype)
         return (
-            EllMatrix(jnp.asarray(new_data), jnp.asarray(new_idx), (n + pad, n + pad)),
+            EllMatrix(new_data, new_idx, (n + pad, n + pad)),
             b_p,
             n,
         )
@@ -276,8 +271,8 @@ def pad_to_multiple(A: Operator, b: np.ndarray, multiple: int) -> Tuple[Operator
         new_idx[n:, 0] = np.arange(n, n + pad, dtype=idx.dtype)
         return (
             HybMatrix(
-                jnp.asarray(new_data),
-                jnp.asarray(new_idx),
+                new_data,
+                new_idx,
                 A.tail_rows,
                 A.tail_data,
                 A.tail_indices,
@@ -291,7 +286,7 @@ def pad_to_multiple(A: Operator, b: np.ndarray, multiple: int) -> Tuple[Operator
         new = np.zeros((n + pad, n + pad), dtype=data.dtype)
         new[:n, :n] = data
         new[range(n, n + pad), range(n, n + pad)] = 1.0
-        return DenseMatrix(jnp.asarray(new)), b_p, n
+        return DenseMatrix(new), b_p, n
     raise TypeError(f"cannot pad operator of type {type(A)}")
 
 

@@ -3,6 +3,14 @@
 The reference validated solvers on externally supplied ``.mtx``/``.npy``
 matrices that were never committed (reference: .gitignore:1-19); these
 constructors provide the standard SPD families the baselines are defined on.
+
+All constructors return HOST containers (numpy leaves): building a fixture
+never touches an accelerator, so host-side consumers (``to_dia``,
+``todense``, benchmark check matrices, diagnostics) run with zero device
+transfers — on a remote-attached TPU a stray device round-trip in nominally
+host-side code can stall for minutes (the round-3 bench crash).  The solve
+paths commit leaves to the device once per call
+(:func:`krylov_tpu.sparse.formats.to_device`).
 """
 
 from __future__ import annotations
@@ -12,7 +20,6 @@ from typing import Tuple
 import numpy as np
 
 from krylov_tpu.sparse.formats import DiaMatrix, EllMatrix, StencilMatrix
-import jax.numpy as jnp
 
 
 def poisson1d(n: int, dtype=np.float64) -> DiaMatrix:
@@ -23,7 +30,7 @@ def poisson1d(n: int, dtype=np.float64) -> DiaMatrix:
     lower[1:] = -1.0  # A[i, i-1]
     upper[: n - 1] = -1.0  # A[i, i+1]
     data = np.stack([lower, main, upper])
-    return DiaMatrix(jnp.asarray(data), (-1, 0, 1), (n, n))
+    return DiaMatrix(data, (-1, 0, 1), (n, n))
 
 
 def laplace2d(
@@ -47,7 +54,7 @@ def laplace2d(
     stencil = ((-1, 0), (0, -1), (0, 0), (0, 1), (1, 0))
     if constant:
         w = np.array([-1.0, -1.0, 4.0, -1.0, -1.0], dtype=dtype)
-        return StencilMatrix(jnp.asarray(w), stencil, (ny, nx))
+        return StencilMatrix(w, stencil, (ny, nx))
     iy = np.arange(ny)[:, None]
     ix = np.arange(nx)[None, :]
     main = np.full((ny, nx), 4.0, dtype=dtype)
@@ -56,7 +63,7 @@ def laplace2d(
     west = np.broadcast_to((ix > 0), (ny, nx)).astype(dtype) * -1.0  # (i, j-1)
     east = np.broadcast_to((ix < nx - 1), (ny, nx)).astype(dtype) * -1.0
     coef = np.stack([north, west, main, east, south]).astype(dtype)
-    return StencilMatrix(jnp.asarray(coef), stencil, (ny, nx))
+    return StencilMatrix(coef, stencil, (ny, nx))
 
 
 def laplace3d(
@@ -80,7 +87,7 @@ def laplace3d(
             (0, 1, 0),
             (1, 0, 0),
         )
-        return StencilMatrix(jnp.asarray(w), stencil, (nz, ny, nx))
+        return StencilMatrix(w, stencil, (nz, ny, nx))
     iz = np.arange(nz)[:, None, None]
     iy = np.arange(ny)[None, :, None]
     ix = np.arange(nx)[None, None, :]
@@ -102,7 +109,7 @@ def laplace3d(
         (0, 1, 0),
         (1, 0, 0),
     )
-    return StencilMatrix(jnp.asarray(coef), stencil, shp)
+    return StencilMatrix(coef, stencil, shp)
 
 
 def random_spd_ell(
@@ -193,13 +200,10 @@ def powerlaw_spd(
 
 def rhs_for_solution(A, x_true: np.ndarray) -> np.ndarray:
     """b = A @ x_true computed on host in float64 for a known-solution test."""
-    dense_free = hasattr(A, "matvec")
-    if dense_free:
-        import jax
+    if hasattr(A, "matvec"):
+        from krylov_tpu.sparse.convert import host_matvec64
 
-        return np.asarray(
-            jax.device_get(A.matvec(jnp.asarray(x_true, dtype=A.dtype)))
-        )
+        return host_matvec64(A, x_true).astype(np.asarray(x_true).dtype)
     return np.asarray(A @ x_true)
 
 

@@ -342,7 +342,9 @@ class StencilMatrix:
 
         For the constant form, weights broadcast over the grid with
         leaving-the-grid couplings zeroed — the invariant every flat-indexed
-        consumer (DIA conversion, row partitioning) depends on.
+        consumer (DIA conversion, row partitioning) depends on.  Host
+        containers (numpy ``coef``) are expanded in pure numpy so host-side
+        consumers never touch the device (see :func:`to_device`).
         """
         if not self.is_constant:
             return self.coef
@@ -359,6 +361,12 @@ class StencilMatrix:
                     continue
                 mask[tuple(sl)] = False
         shape = (ns,) + (1,) * len(self.grid)
+        if isinstance(self.coef, np.ndarray):
+            return np.where(
+                mask,
+                self.coef.reshape(shape),
+                np.zeros((), self.coef.dtype),
+            )
         return jnp.where(
             jnp.asarray(mask),
             self.coef.reshape(shape),
@@ -434,7 +442,7 @@ class StencilMatrix:
             merged[offs[s]] += coef[s]
         keys = sorted(merged)
         data = np.stack([merged[o] for o in keys])
-        return DiaMatrix(jnp.asarray(data), tuple(int(o) for o in keys), (n, n))
+        return DiaMatrix(data, tuple(int(o) for o in keys), (n, n))
 
     def todense(self) -> np.ndarray:
         return self.to_dia().todense()
@@ -474,6 +482,18 @@ _register_dataclass_pytree(DenseMatrix, ["data"], [])
 Operator = DiaMatrix | StencilMatrix | EllMatrix | HybMatrix | DenseMatrix
 
 
+def to_device(A: Operator) -> Operator:
+    """Commit an operator's array leaves to the default device.
+
+    Containers are built HOST-LAZY (numpy leaves — fixtures and scipy
+    conversions never touch an accelerator); the solve front doors call this
+    once per solve so dispatches reuse committed device buffers instead of
+    re-transferring per call.  Idempotent: device leaves (and tracers, when
+    called inside a jitted program) pass through unchanged.
+    """
+    return jax.tree.map(jnp.asarray, A)
+
+
 def as_operator(A, dtype=None) -> Operator:
     """Coerce ``A`` into a library operator.
 
@@ -490,7 +510,13 @@ def as_operator(A, dtype=None) -> Operator:
         return A
     if hasattr(A, "tocsr") and hasattr(A, "nnz"):  # scipy sparse
         return convert.from_scipy(A, dtype=dtype)
-    arr = jnp.asarray(A, dtype=dtype)
+    # numpy input stays host-side (host-lazy, like the other conversions);
+    # jax arrays / tracers pass through jnp untouched.
+    arr = (
+        np.asarray(A, dtype=dtype)
+        if isinstance(A, np.ndarray)
+        else jnp.asarray(A, dtype=dtype)
+    )
     if arr.ndim != 2:
         raise ValueError(f"expected a 2-D operand, got shape {arr.shape}")
     return DenseMatrix(arr)

@@ -161,3 +161,45 @@ def test_hyb_matvec_with_forced_slice_gather(rng):
     finally:
         formats._FORCE_SLICE_GATHER = old
     np.testing.assert_allclose(y, A_sp @ x, rtol=1e-12, atol=1e-12)
+
+
+def test_fixtures_and_host_paths_do_zero_device_transfers():
+    """Containers are host-lazy (VERDICT r3: a device round-trip inside
+    nominally host-side code stalled the round-3 bench for 420 s).  Building
+    fixtures, converting from scipy, to_dia/todense/grid_coef, padding, and
+    the host-f64 matvec must all run without touching any device."""
+    import jax
+
+    from krylov_tpu.sparse.convert import (
+        from_scipy,
+        host_matvec64,
+        pad_to_multiple,
+        to_hyb,
+    )
+    from krylov_tpu.sparse.fixtures import (
+        laplace2d,
+        laplace3d,
+        poisson1d,
+        powerlaw_spd,
+        rhs_for_solution,
+    )
+
+    with jax.transfer_guard("disallow"):
+        A = laplace2d(50, dtype=np.float64)
+        Ac = laplace2d(50, dtype=np.float64, constant=True)
+        D = A.to_dia()
+        Dc = Ac.to_dia()
+        np.testing.assert_allclose(
+            np.asarray(D.data), np.asarray(Dc.data), rtol=0, atol=0
+        )
+        A3 = laplace3d(8, dtype=np.float64, constant=True)
+        A3.grid_coef()
+        P = poisson1d(33, dtype=np.float64)
+        P.todense()
+        pad_to_multiple(P, np.ones(33), 8)
+        S = powerlaw_spd(256, seed=1)
+        H = to_hyb(S, dtype=np.float64)
+        E = from_scipy(S.tocsr())
+        x = np.linspace(0.0, 1.0, 256)
+        np.testing.assert_allclose(host_matvec64(H, x), S @ x, atol=1e-12)
+        rhs_for_solution(P, np.ones(33))
