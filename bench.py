@@ -4,38 +4,54 @@ N=250k, single chip).
 Prints ONE JSON line:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
 
-``value`` is the SINGLE fresh-input dispatch wall time (the honest
-end-to-end number; it includes the remote tunnel's fixed ~20 ms dispatch
-overhead).  ``vs_baseline`` is the speedup over a freshly-measured
-NumPy/SciPy implementation with the reference's semantics (float64,
-per-iteration Python loop — the reference publishes no numbers of its own,
-see BASELINE.md).  The 8-RHS-amortized device throughput rides in
+``value`` is the SINGLE fresh-input dispatch wall time measured through to
+a HOST FETCH of the result's iteration counter — the only true completion
+signal on this backend (see below) — so it includes the tunnel's fixed
+dispatch + fetch round-trip (~45 ms), recorded separately in
+``extra["fetch_rtt_s"]``.  ``vs_baseline`` is the speedup over a
+freshly-measured NumPy/SciPy implementation with the reference's semantics
+(float64, per-iteration Python loop — the reference publishes no numbers of
+its own, see BASELINE.md).  The 8-RHS-amortized device throughput rides in
 ``extra["amortized_per_solve_s"]`` (one jitted dispatch solving 8 distinct
-right-hand sides sequentially, wall/8 — cancels the fixed overhead).
+right-hand sides sequentially, wall/8 — amortizes the fixed overhead).
 
 Measurement discipline (hard-won on the remote-TPU tunnel backend):
 
-* the backend RESULT-CACHES identical executions — every timed invocation
-  uses DISTINCT input values;
+* ``jax.block_until_ready`` is NOT a completion barrier on this backend:
+  it can return in ~150 us for a solve whose true device time is ~7.5 ms
+  (verified round 4: distinct fresh inputs, distinct iteration counts, yet
+  sub-millisecond "walls" — while the same program amortized inside one
+  lax.map dispatch measures 7.5 ms/solve).  Every timed region therefore
+  ends with a host fetch of a result scalar, and paired measurements
+  (slope method) cancel the fetch RTT;
+* the backend result-caches identical executions ACROSS PROCESSES, so a
+  fixed rng seed can replay cached results from a previous bench run.
+  Every device-timed invocation draws from an OS-entropy-seeded rng
+  (seed recorded in ``extra["entropy_seed"]``);
 * the SpMV rate is slope-based: two fori_loop dispatches with different
-  trip counts, rate from the difference, cancelling the fixed overhead.
+  trip counts, each timed through its host fetch, rate from the
+  difference — cancelling both the dispatch overhead and the fetch RTT.
 
-Resilience (VERDICT r2: a 231 s compile-service stall must never erase
-completed rows again — that stall was ENVIRONMENTAL: the same lax.map-of-8
-program compiles in ~2.4 s normally, identical to a single fused solve,
-measured and recorded in ``warmup_compile_s``):
+Resilience (VERDICT r2/r3 — a stall must never erase completed rows, and
+the ENVELOPE must cover EVERYTHING, including fixture construction; the
+round-3 bench died in the fixture build, outside the old try/finally):
 
+* EVERY step — fixture build included — runs inside the outer
+  try/finally, so the final JSON line is emitted from ``finally`` on any
+  exit path (crash, SIGALRM budget guard, stage failure);
+* the host-f64 check matrix is PURE scipy (``sp.kron`` of tridiagonals),
+  never importing jax — a remote-attached device cannot stall it;
 * every stage runs inside its own try/except and appends into ``extra``;
   a stage failure records ``<stage>_error`` and the remaining stages still
   run;
-* the final JSON line is emitted from a ``finally`` block, so a crash or
-  the SIGALRM budget guard still prints everything measured so far;
+* emitted JSON is strict (non-finite floats sanitized);
 * the FIDELITY row (true residual < tol via device-side ``restarts=``,
   host-f64 ``refine=`` fallback) runs immediately after the headline,
   before any optional stage, and has no time gate.
 """
 
 import json
+import math
 import signal
 import sys
 import time
@@ -60,6 +76,32 @@ class _Budget(Exception):
 
 def _alarm(signum, frame):
     raise _Budget()
+
+
+def _finite(obj):
+    """Strict-JSON sanitizer: NaN/inf floats become strings (json.dumps
+    would otherwise emit bare NaN tokens that strict parsers reject)."""
+    if isinstance(obj, dict):
+        return {k: _finite(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_finite(v) for v in obj]
+    if isinstance(obj, float) and not math.isfinite(obj):
+        return repr(obj)
+    return obj
+
+
+def laplace2d_csr_f64(nx):
+    """PURE-scipy 2-D 5-point Dirichlet Laplacian on an nx*nx grid, row-major
+    — the same matrix as krylov_tpu.sparse.fixtures.laplace2d(nx), built
+    host-only in float64 as A = I (x) T + T (x) I with T = tridiag(-1,2,-1).
+    Independent construction: shares no code with the library fixture."""
+    import scipy.sparse as sp
+
+    T = sp.diags(
+        [-1.0, 2.0, -1.0], [-1, 0, 1], shape=(nx, nx), dtype=np.float64
+    )
+    I = sp.identity(nx, dtype=np.float64, format="csr")
+    return (sp.kron(I, T) + sp.kron(T, I)).tocsr()
 
 
 def numpy_mrr_baseline(A_csr, b, tol, maxiter):
@@ -94,20 +136,12 @@ def numpy_mrr_baseline(A_csr, b, tol, maxiter):
 
 
 def main():
-    import jax
-    import jax.numpy as jnp
-    from jax import lax
-
-    import krylov_tpu
-    from krylov_tpu.sparse.fixtures import laplace2d
-
     NX = 500  # N = 250,000
     TOL = 1e-5
     MAXITER = 3000
     NRHS = 8
-    dtype = np.float32 if jax.default_backend() == "tpu" else np.float64
 
-    extra = {"backend": jax.default_backend(), "dtype": str(np.dtype(dtype))}
+    extra = {}
     headline = {"single_dispatch_s": None, "baseline_s": None}
 
     def emit():
@@ -118,42 +152,27 @@ def main():
             "value": round(value, 6) if value else -1.0,
             "unit": "s",
             "vs_baseline": round(base / value, 3) if (value and base) else -1.0,
-            "extra": extra,
+            "extra": _finite(extra),
         }
         print(json.dumps(result), flush=True)
 
     signal.signal(signal.SIGALRM, _alarm)
     signal.alarm(int(_BUDGET_S))
 
-    _stage("building fixture")
-    # Constant-coefficient form of the same operator: per-term scalar
-    # weights in SMEM instead of 5 streamed coefficient grids (identical
-    # matrix — Dirichlet boundaries come from the zero padding of x).
-    A = laplace2d(NX, dtype=dtype, constant=True)
-    n = A.shape[0]
-    rng = np.random.default_rng(0)
-
-    # Host-side scipy CSR rebuild (float64): the numpy baseline operand and
-    # the independent true-residual check.
-    import scipy.sparse as sp
-
-    A64_dia = laplace2d(NX, dtype=np.float64).to_dia()
-    ii, jj, vv = [], [], []
-    data = np.asarray(A64_dia.data)
-    for d, off in enumerate(A64_dia.offsets):
-        rows = np.arange(max(0, -off), min(n, n - off))
-        ii.append(rows)
-        jj.append(rows + off)
-        vv.append(data[d, rows])
-    A_csr = sp.coo_matrix(
-        (np.concatenate(vv), (np.concatenate(ii), np.concatenate(jj))),
-        shape=(n, n),
-    ).tocsr()
-
     try:
-        # --- NumPy/SciPy baseline FIRST (host-only: a TPU stall cannot
-        # erase it; reference semantics, float64).
-        _stage("running numpy baseline")
+        # --- Host-only prelude: scipy check matrix + NumPy baseline FIRST.
+        # No jax import has happened yet — a device stall cannot reach here.
+        _stage("building host-f64 scipy check matrix (pure scipy)")
+        rng = np.random.default_rng(0)
+        A_csr = None
+        try:
+            A_csr = laplace2d_csr_f64(NX)
+            n = A_csr.shape[0]
+        except Exception as e:  # pragma: no cover
+            extra["check_matrix_error"] = f"{type(e).__name__}: {e}"
+            n = NX * NX
+
+        _stage("running numpy baseline (reference semantics, f64)")
         try:
             b_base = rng.standard_normal(n)
             base_time, base_iters, _ = numpy_mrr_baseline(
@@ -164,6 +183,34 @@ def main():
             extra["baseline_iterations"] = int(base_iters)
         except Exception as e:  # pragma: no cover
             extra["baseline_error"] = f"{type(e).__name__}: {e}"
+
+        # --- Device side starts here.  Fixture is a host-lazy container
+        # (numpy leaves); solve_device commits it on first use.  From here
+        # on, all timed inputs come from an entropy-seeded rng: the remote
+        # backend's result cache is keyed on (program, input values) and
+        # persists across processes, so deterministic inputs replay cached
+        # results instead of executing (see module docstring).
+        _stage("importing jax + building fixture")
+        import os
+
+        entropy_seed = int.from_bytes(os.urandom(8), "little")
+        extra["entropy_seed"] = entropy_seed
+        rng = np.random.default_rng(entropy_seed)
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        import krylov_tpu
+        from krylov_tpu.sparse.fixtures import laplace2d
+
+        dtype = np.float32 if jax.default_backend() == "tpu" else np.float64
+        extra["backend"] = jax.default_backend()
+        extra["dtype"] = str(np.dtype(dtype))
+
+        # Constant-coefficient form of the same operator: per-term scalar
+        # weights in SMEM instead of 5 streamed coefficient grids (identical
+        # matrix — Dirichlet boundaries come from the zero padding of x).
+        A = laplace2d(NX, dtype=dtype, constant=True)
 
         # --- Headline: single fresh-input dispatch on the fused
         # whole-solve-in-one-Pallas-kernel path (engages automatically on
@@ -179,18 +226,34 @@ def main():
             single_fn = jax.jit(one)
             b_w = jnp.asarray(rng.standard_normal(n).astype(dtype))
             t0 = time.perf_counter()
-            jax.block_until_ready(single_fn(b_w))
+            res_w = single_fn(b_w)
+            int(np.asarray(res_w.iterations))  # fetch = completion barrier
             extra["warmup_compile_s"] = round(time.perf_counter() - t0, 2)
-            best, res1, b_used = float("inf"), None, None
-            for _ in range(2):
+            # Pure fetch round-trip: a scalar that was computed above and
+            # never fetched (jax caches fetched values per-array, so it must
+            # be a DIFFERENT leaf than the one fetched for the barrier).
+            t0 = time.perf_counter()
+            int(np.asarray(res_w.index))
+            rtt = time.perf_counter() - t0
+            extra["fetch_rtt_s"] = round(rtt, 6)
+            # Median of 3, each timed dispatch -> result-scalar fetch.
+            trials = []
+            for _ in range(3):
                 b_t = jnp.asarray(rng.standard_normal(n).astype(dtype))
                 jax.block_until_ready(b_t)
                 t0 = time.perf_counter()
-                r = jax.block_until_ready(single_fn(b_t))
-                dt = time.perf_counter() - t0
-                if dt < best:
-                    best, res1, b_used = dt, r, b_t
-            headline["single_dispatch_s"] = best
+                r = single_fn(b_t)
+                int(np.asarray(r.iterations))
+                trials.append((time.perf_counter() - t0, r, b_t))
+            trials.sort(key=lambda t: t[0])
+            dt_med, res1, b_used = trials[1]
+            headline["single_dispatch_s"] = dt_med
+            extra["single_dispatch_trials_s"] = [
+                round(t[0], 6) for t in trials
+            ]
+            extra["single_dispatch_minus_rtt_s"] = round(
+                max(dt_med - rtt, 0.0), 6
+            )
             iters = int(res1.iterations)
             extra["converged"] = bool(res1.converged)
             extra["iterations"] = iters
@@ -211,7 +274,7 @@ def main():
         # Device-side ``restarts=`` defect correction (ONE dispatch, no host
         # round-trip) recovers the reference's f64 fidelity policy
         # (v3/cpu/common.py:23) on f32 hardware; host-f64 ``refine=`` is the
-        # fallback.  Checked here against the independent scipy rebuild.
+        # fallback.  Checked here against the independent scipy build.
         _stage("fidelity: device-side restarts to true tol")
         try:
             b_f = rng.standard_normal(n).astype(dtype)
@@ -264,8 +327,10 @@ def main():
             many = jax.jit(lambda B: lax.map(one, B))
             B_w = jnp.asarray(rng.standard_normal((NRHS, n)).astype(dtype))
             t0 = time.perf_counter()
-            jax.block_until_ready(many(B_w))
+            res_bw = many(B_w)
+            np.asarray(res_bw.iterations)  # fetch = completion barrier
             extra["batched_compile_s"] = round(time.perf_counter() - t0, 2)
+            rtt = extra.get("fetch_rtt_s", 0.0)
             times, last = [], None
             for _ in range(2):
                 B_t = jnp.asarray(
@@ -273,8 +338,10 @@ def main():
                 )
                 jax.block_until_ready(B_t)
                 t0 = time.perf_counter()
-                last = jax.block_until_ready(many(B_t))
-                times.append((time.perf_counter() - t0) / NRHS)
+                last = many(B_t)
+                np.asarray(last.iterations)
+                wall = time.perf_counter() - t0
+                times.append(max(wall - rtt, 0.0) / NRHS)
             extra["amortized_per_solve_s"] = round(min(times), 6)
             extra["nrhs_amortized_over"] = NRHS
             extra["iterations_all_rhs"] = [
@@ -310,29 +377,39 @@ def main():
                 A_scaled = jax.tree.map(lambda d: d / 8.0, A)
 
                 def spmv_loop(v, reps):
-                    return lax.fori_loop(
+                    # Returns a SCALAR (sum of the final vector): the timed
+                    # region ends with a host fetch, and fetching the full
+                    # n-vector would add ~1 MB of transfer to the timing.
+                    # The extra reduce is per-dispatch and identical for
+                    # both trip counts, so the slope cancels it.
+                    out = lax.fori_loop(
                         0, reps, lambda i, u: A_scaled.matvec(u), v
                     )
+                    return jnp.sum(out)
 
+                # Trip counts far enough apart that the slope signal
+                # (5000 * t_spmv ~ 15 ms) dominates the tunnel's per-call
+                # RTT jitter (~±5 ms) — at 1000 apart the jitter produced
+                # unphysical rates.
                 loops = {
                     r: jax.jit(lambda v, r=r: spmv_loop(v, r))
-                    for r in (200, 1200)
+                    for r in (200, 5200)
                 }
                 elapsed = {}
                 for r, fn in loops.items():
                     v0 = jnp.asarray(rng.standard_normal(n).astype(dtype))
-                    jax.block_until_ready(fn(v0))  # compile
+                    float(np.asarray(fn(v0)))  # compile + completion fetch
                     best = float("inf")
-                    for _ in range(2):
+                    for _ in range(3):
                         v1 = jnp.asarray(
                             rng.standard_normal(n).astype(dtype)
                         )
                         jax.block_until_ready(v1)
                         t0 = time.perf_counter()
-                        jax.block_until_ready(fn(v1))
+                        float(np.asarray(fn(v1)))
                         best = min(best, time.perf_counter() - t0)
                     elapsed[r] = best
-                spmv_t = (elapsed[1200] - elapsed[200]) / 1000.0
+                spmv_t = (elapsed[5200] - elapsed[200]) / 5000.0
                 if spmv_t > 0:
                     extra["spmv_nnz_per_s"] = round(A.nnz / spmv_t / 1e9, 3)
                     extra["spmv_gflops"] = round(2 * A.nnz / spmv_t / 1e9, 3)
@@ -344,6 +421,8 @@ def main():
 
     except _Budget:
         extra["budget_exceeded_s"] = _BUDGET_S
+    except BaseException as e:  # envelope: record, still emit in finally
+        extra["fatal_error"] = f"{type(e).__name__}: {e}"
     finally:
         signal.alarm(0)
         emit()
