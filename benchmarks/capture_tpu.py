@@ -16,6 +16,7 @@ Usage (CPU sanity):
 
 import argparse
 import json
+import math
 import os
 import subprocess
 import sys
@@ -23,6 +24,19 @@ import time
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _OUT = os.path.join(_HERE, "captured_rows.jsonl")
+
+
+def _finite(obj):
+    """Strict-JSON sanitizer: non-finite floats become strings
+    (json.dumps would otherwise emit bare NaN/Infinity tokens that jq,
+    JSON.parse and other strict consumers reject)."""
+    if isinstance(obj, dict):
+        return {k: _finite(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_finite(v) for v in obj]
+    if isinstance(obj, float) and not math.isfinite(obj):
+        return repr(obj)
+    return obj
 
 
 def run_row(row: str, timeout_s: int) -> list[dict]:
@@ -82,7 +96,7 @@ def main():
             stamp = {"captured_attempt": attempt, "captured_wall_s": round(dt, 1)}
             with open(_OUT, "a") as f:
                 for r in rows:
-                    rec = {**r, **stamp}
+                    rec = _finite({**r, **stamp})
                     f.write(json.dumps(rec) + "\n")
                     print(json.dumps(rec), flush=True)
             captured.append(row)

@@ -94,12 +94,16 @@ _PRECONDITIONED_METHODS = {"pcg", "chronopoulos_gear", "gropp", "pipelined_cg"}
 _CARRY_METHODS = {"cg", "mrr", "kskipcg", "kskipmrr", "adaptivekskipmrr"}
 
 
-@partial(jax.jit, static_argnames=("method", "maxiter", "k", "ctx"))
-def _run_kernel(A, b, x0, tol, method, maxiter, k, ctx, M=None):
+@partial(
+    jax.jit, static_argnames=("method", "maxiter", "k", "ctx", "basis_norm")
+)
+def _run_kernel(A, b, x0, tol, method, maxiter, k, ctx, M=None, basis_norm=False):
     kernel = _get_kernel(method)
     kwargs = dict(tol=tol, maxiter=maxiter, ctx=ctx)
     if method in _KSKIP_METHODS:
         kwargs["k"] = k
+        if basis_norm:
+            kwargs["basis_norm"] = True
     if method in _PRECONDITIONED_METHODS:
         kwargs["M"] = M
     return kernel(A, b, x0, **kwargs)
@@ -238,12 +242,14 @@ def _run_fused(A, b, x0, tol, method, maxiter, k=0):
 @partial(
     jax.jit,
     static_argnames=(
-        "method", "maxiter", "k", "ctx", "use_fused", "restarts", "emit_carry"
+        "method", "maxiter", "k", "ctx", "use_fused", "restarts",
+        "emit_carry", "basis_norm",
     ),
 )
 def _run_single(
     A, b, x0, tol, M, carry=None, *,
     method, maxiter, k, ctx, use_fused, restarts, emit_carry=False,
+    basis_norm=False,
 ):
     """Single-device solve, optionally followed by ``restarts`` device-side
     defect-correction passes.
@@ -272,8 +278,13 @@ def _run_single(
             )
             if method in _KSKIP_METHODS:
                 kw["k"] = k
+                if basis_norm:
+                    kw["basis_norm"] = True
             return kernel(A, bb, x0b, **kw)
-        return _run_kernel(A, bb, x0b, tolb, method, maxiter, k, ctx, M)
+        return _run_kernel(
+            A, bb, x0b, tolb, method, maxiter, k, ctx, M,
+            basis_norm=basis_norm,
+        )
 
     result = base(b, x0, tol)
     if restarts == 0:
@@ -324,10 +335,17 @@ def _with_restart_fields(result, x, iters, true_final, tol):
 
 def _plan_single(
     A, b, x0, tol, method, maxiter, k, M, scalar_dtype, fused, restarts,
-    carry=None, emit_carry=False,
+    carry=None, emit_carry=False, basis_norm=False,
 ):
     """(jitted fn, dynamic args, static kwargs) for a single-device solve."""
-    use_fused = _fused_eligible(A, method, M, scalar_dtype, fused, maxiter)
+    if basis_norm and fused is True:
+        raise ValueError(
+            "basis_norm= is not supported by the fused whole-solve kernels; "
+            "drop fused=True (the while_loop kernels take it)"
+        )
+    use_fused = not basis_norm and _fused_eligible(
+        A, method, M, scalar_dtype, fused, maxiter
+    )
     if carry is not None or emit_carry:
         assert method in _CARRY_METHODS and not use_fused and not restarts
     ctx = None if use_fused else Context(axis=None, scalar_dtype=scalar_dtype)
@@ -339,6 +357,7 @@ def _plan_single(
         use_fused=use_fused,
         restarts=restarts,
         emit_carry=emit_carry,
+        basis_norm=basis_norm and method in _KSKIP_METHODS,
     )
     args = (A, b, x0, jnp.asarray(tol, dtype=b.dtype), M, carry)
     return _run_single, args, statics
@@ -357,6 +376,7 @@ def solve_device(
     scalar_dtype=None,
     fused=None,
     restarts: int = 0,
+    basis_norm: bool = False,
 ):
     """Like :func:`solve` but returns the raw on-device
     :class:`~krylov_tpu.solvers.SolveResult` (fixed-shape traces, no host
@@ -383,7 +403,8 @@ def solve_device(
     )
     if mesh is None:
         fn, args, statics = _plan_single(
-            A, b, x0, tol, method, maxiter, k, M, scalar_dtype, fused, restarts
+            A, b, x0, tol, method, maxiter, k, M, scalar_dtype, fused,
+            restarts, basis_norm=basis_norm,
         )
         return fn(*args, **statics)
     if restarts:
@@ -392,7 +413,7 @@ def solve_device(
 
     return solve_sharded(
         A, b, x0, tol=tol, method=method, maxiter=maxiter, k=k, M=M,
-        mesh=mesh, scalar_dtype=scalar_dtype,
+        mesh=mesh, scalar_dtype=scalar_dtype, basis_norm=basis_norm,
     )
 
 
@@ -427,17 +448,21 @@ def _aot_compile(fn, args, statics):
 
 
 def _solve_chunked(
-    A, b, x0, tol, method, maxiter, k, M, scalar_dtype, fused, chunk_iters
+    A, b, x0, tol, method, maxiter, k, M, scalar_dtype, fused, chunk_iters,
+    basis_norm=False,
 ):
     """Chunked solve: repeated ``chunk_iters``-bounded dispatches (see
-    ``solve``'s ``chunk_iters`` doc).  For plain cg/mrr (non-fused) the
-    recurrence state is CARRIED across chunks (``emit_carry``/``carry_in`` on
-    the kernels), so the iteration sequence is bit-for-bit the unbroken
-    solve's — no restart penalty; other methods warm-restart from the carried
-    iterate.  Every chunk reuses ONE cached executable (same shapes/statics),
-    so only the first pays compile.  Returns ``(last_result, merged_info,
-    compile_seconds)``; the merged info carries concatenated traces and
-    ``info["chunks"]``."""
+    ``solve``'s ``chunk_iters`` doc).  For every method in
+    ``_CARRY_METHODS`` — cg, mrr and the whole k-skip family including
+    adaptive (whose carry threads the rollback snapshot and adapted k) —
+    the full recurrence state is CARRIED across chunks
+    (``emit_carry``/``carry_in`` on the kernels), so the iteration sequence
+    is exactly the unbroken solve's — no restart penalty
+    (tests/test_restarts.py asserts exactness for all five).  The pipelined
+    family warm-restarts from the carried iterate.  Every chunk reuses ONE
+    cached executable (same shapes/statics), so only the first pays
+    compile.  Returns ``(last_result, merged_info, compile_seconds)``; the
+    merged info carries concatenated traces and ``info["chunks"]``."""
     import dataclasses
 
     # Exact carry-chunking beats the fused whole-solve kernel here: chunking
@@ -447,7 +472,6 @@ def _solve_chunked(
     exact = method in _CARRY_METHODS and fused is not True
     if exact:
         fused = False
-    use_fused = _fused_eligible(A, method, M, scalar_dtype, fused, chunk_iters)
     x_cur = x0
     carry = None
     if exact:
@@ -473,6 +497,7 @@ def _solve_chunked(
         fn, args, statics = _plan_single(
             A, b, x_cur, tol, method, chunk_iters, k, M,
             scalar_dtype, fused, 0, carry=carry, emit_carry=exact,
+            basis_norm=basis_norm,
         )
         compiled, ct = _aot_compile(fn, args, statics)
         compile_total += ct
@@ -533,6 +558,7 @@ def solve(
     refine: int = 0,
     restarts: int = 0,
     chunk_iters: Optional[int] = None,
+    basis_norm: bool = False,
     verbose: bool = False,
 ):
     """Solve the SPD system ``A x = b``; returns ``(x, info)``.
@@ -558,13 +584,30 @@ def solve(
         the returned ``x`` is then float64 and ``info`` carries
         ``true_residual`` and ``refinements``.  Default 0 preserves exact
         reference semantics (and the working-precision return dtype).
+      basis_norm: (k-skip methods only) build the Krylov chains with
+        per-vector normalization, carrying the exact cumulative scales
+        through the coefficient bundle — exact algebra that prevents the
+        float32 overflow/cancellation collapse of the raw monomial basis on
+        ill-conditioned systems (see
+        :mod:`krylov_tpu.solvers.kskip_mrr`).  Combine with
+        ``scalar_dtype=jnp.float64`` for hard problems: f32 vectors, f64
+        bundle/recurrences.  Costs ~k extra fused norm reductions per outer
+        iteration; not supported by the fused whole-solve kernels (the
+        while_loop kernels engage instead).
       chunk_iters: split the solve into dispatches of at most this many
-        iterations each (single-device only).  For plain ``cg``/``mrr`` the
-        full recurrence state is carried across chunks, so the iteration
-        sequence is EXACTLY the unbroken solve's; for the other methods chunk
-        boundaries warm-restart the Krylov recurrence from the carried
-        iterate (standard restarted-Krylov semantics — may need more total
-        iterations).  Residual history, nosl and iteration counts concatenate
+        iterations each (single-device only).  For ``cg``, ``mrr`` and the
+        whole k-skip family (``kskipcg``, ``kskipmrr``,
+        ``adaptivekskipmrr`` — including its rollback snapshot and adapted
+        k) the full recurrence state is carried across chunks, so the
+        iteration sequence is EXACTLY the unbroken solve's; the pipelined
+        family warm-restarts from the carried iterate (standard
+        restarted-Krylov semantics — may need more total iterations).
+        Chunks always run whole: the final chunk may overshoot ``maxiter``
+        by up to ``chunk_iters - 1`` iterations (e.g. ``maxiter=25,
+        chunk_iters=10`` can execute 30), unlike the reference's hard
+        per-iteration cap (reference: v3/cpu/cg.py:19) — keeping every
+        dispatch the same shape is what lets all chunks share one compiled
+        executable.  Residual history, nosl and iteration counts concatenate
         across chunks; ``info["chunks"]`` records the dispatch count.  Exists
         because very long single executions are operationally fragile on
         remote-attached accelerators (a device fault mid-dispatch loses
@@ -635,13 +678,13 @@ def solve(
                 )
             result, chunk_info, compile_time = _solve_chunked(
                 A, b_dev, x0_dev, tol, method, maxiter_eff, k, M,
-                scalar_dtype, fused, chunk_iters,
+                scalar_dtype, fused, chunk_iters, basis_norm=basis_norm,
             )
             elapsed = chunk_info["time"]
         else:
             fn, args, statics = _plan_single(
                 A, b_dev, x0_dev, tol, method, maxiter_eff, k, M,
-                scalar_dtype, fused, restarts,
+                scalar_dtype, fused, restarts, basis_norm=basis_norm,
             )
             compiled, compile_time = _aot_compile(fn, args, statics)
             t0 = time.perf_counter()
@@ -679,6 +722,7 @@ def solve(
             M=M,
             mesh=mesh,
             scalar_dtype=scalar_dtype,
+            basis_norm=basis_norm,
             return_times=True,
         )
 
@@ -792,6 +836,7 @@ def solve_batched(
     mesh=None,
     scalar_dtype=None,
     fused=None,
+    basis_norm: bool = False,
 ):
     """Solve ``A x_i = b_i`` for a whole batch of right-hand sides at once.
 
@@ -833,20 +878,32 @@ def solve_batched(
 
         return solve_sharded(
             A, B, X0, tol=tol, method=method, maxiter=maxiter, k=k, M=M,
-            mesh=mesh, scalar_dtype=scalar_dtype,
+            mesh=mesh, scalar_dtype=scalar_dtype, basis_norm=basis_norm,
         )
-    use_fused = _fused_eligible(A, method, M, scalar_dtype, fused, maxiter)
+    if basis_norm and fused is True:
+        raise ValueError(
+            "basis_norm= is not supported by the fused whole-solve kernels"
+        )
+    use_fused = not basis_norm and _fused_eligible(
+        A, method, M, scalar_dtype, fused, maxiter
+    )
     ctx = None if use_fused else Context(axis=None, scalar_dtype=scalar_dtype)
     return _run_batched(
         A, B, X0, jnp.asarray(tol, dtype=A.dtype), M,
         method=method, maxiter=maxiter, k=k, ctx=ctx, use_fused=use_fused,
+        basis_norm=basis_norm and method in _KSKIP_METHODS,
     )
 
 
 @partial(
-    jax.jit, static_argnames=("method", "maxiter", "k", "ctx", "use_fused")
+    jax.jit,
+    static_argnames=(
+        "method", "maxiter", "k", "ctx", "use_fused", "basis_norm"
+    ),
 )
-def _run_batched(A, B, X0, tol, M, *, method, maxiter, k, ctx, use_fused):
+def _run_batched(
+    A, B, X0, tol, M, *, method, maxiter, k, ctx, use_fused, basis_norm=False
+):
     if use_fused:
         # Pallas whole-solve kernels hold the full working set in VMEM, so
         # the batch runs sequentially (lax.map) rather than vmapped — still
@@ -861,6 +918,8 @@ def _run_batched(A, B, X0, tol, M, *, method, maxiter, k, ctx, use_fused):
     kwargs = dict(tol=tol, maxiter=maxiter, ctx=ctx)
     if method in _KSKIP_METHODS:
         kwargs["k"] = k
+        if basis_norm:
+            kwargs["basis_norm"] = True
     if method in _PRECONDITIONED_METHODS:
         kwargs["M"] = M
 

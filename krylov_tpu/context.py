@@ -49,20 +49,22 @@ class Context:
         return lax.psum(v, self.axis) if self.axis is not None else v
 
     def _scalar(self, v):
-        return v.astype(self.scalar_dtype) if self.scalar_dtype is not None else v
-
-    def _wide(self, v):
-        """Upcast a reduction INPUT to ``scalar_dtype``.
-
-        Promoting after the reduction would keep the rounded narrow result
-        (useless for stability); promoting the operands makes the inner
-        products themselves exact to the wide precision.  This is what the
-        k-skip bundle needs: the monomial-basis Gram matrix has condition
-        ~kappa^k, so its entries must carry more than vector precision for
-        the scalar recurrences (reference: all-f64 policy,
+        """Cast to ``scalar_dtype`` — applied to reduction INPUTS as well as
+        results.  Promoting only after the reduction would keep the rounded
+        narrow result (useless for stability); promoting the operands makes
+        the inner products themselves exact to the wide precision.  This is
+        what the k-skip bundle needs: the monomial-basis Gram matrix has
+        condition ~kappa^k, so its entries must carry more than vector
+        precision for the scalar recurrences (reference: all-f64 policy,
         v3/cpu/common.py:23) — here f32 vectors + f64 Gram/recurrences.
+        (Full-length vector dots widen their operands too — accepted cost:
+        with scalar_dtype=f64 every reduction, not just the small Gram, is
+        exact to f64.)
         """
         return v.astype(self.scalar_dtype) if self.scalar_dtype is not None else v
+
+    # Historical alias (operand-widening and result casts are the same op).
+    _wide = _scalar
 
     def dot(self, u, v):
         """Global inner product <u, v> (one psum when distributed)."""

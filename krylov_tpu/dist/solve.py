@@ -84,11 +84,11 @@ def shard_preconditioner(M, n_devices: int, axis: str):
 
 def _build(
     mesh, axis, method, maxiter, k, ctx, op_specs, m_specs, has_k_trace,
-    batched=False,
+    batched=False, basis_norm=False,
 ):
     key = (
         mesh, axis, method, maxiter, k, ctx, op_specs, m_specs, has_k_trace,
-        batched,
+        batched, basis_norm,
     )
     if key in _CACHE:
         return _CACHE[key]
@@ -116,6 +116,8 @@ def _build(
         kwargs = dict(tol=tol, maxiter=maxiter, ctx=ctx)
         if method in _KSKIP_METHODS:
             kwargs["k"] = k
+            if basis_norm:
+                kwargs["basis_norm"] = True
         if method in _PRECONDITIONED_METHODS:
             kwargs["M"] = maybe_m[0] if maybe_m else None
 
@@ -149,6 +151,7 @@ def solve_sharded(
     M=None,
     mesh: Mesh,
     scalar_dtype=None,
+    basis_norm: bool = False,
     return_times: bool = False,
 ):
     """Row-partition the system over ``mesh`` and solve under ``shard_map``.
@@ -187,7 +190,7 @@ def solve_sharded(
     has_k_trace = method == "adaptivekskipmrr"
     fn = _build(
         mesh, axis, method, maxiter, k, ctx, op_specs, m_specs, has_k_trace,
-        batched=batched,
+        batched=batched, basis_norm=basis_norm,
     )
 
     args = (op, jnp.asarray(b_p), jnp.asarray(x0_p), jnp.asarray(tol))

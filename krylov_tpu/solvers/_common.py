@@ -36,6 +36,26 @@ def tree_select(pred, on_true, on_false):
     return jax.tree.map(lambda a, b: jnp.where(pred, a, b), on_true, on_false)
 
 
+def pow2_scale(s):
+    """Nearest power of two to ``s`` (1.0 where ``s <= 0`` / non-finite).
+
+    Used by the ``basis_norm`` Krylov-chain stabilization: scaling a vector
+    by a power of two is EXACT in floating point (only the exponent field
+    changes), so normalizing each basis vector by ``pow2_scale(||v||)``
+    keeps the Gram entries O(1) — preventing the float32 overflow of the
+    raw monomial basis — while introducing ZERO additional rounding into
+    the basis vectors themselves (a plain ``v / ||v||`` rounds every entry
+    and measurably perturbs the k-skip trajectory).
+    """
+    ok = jnp.isfinite(s) & (s > 0)
+    e = jnp.round(jnp.log2(jnp.where(ok, s, 1.0))).astype(jnp.int32)
+    # ldexp constructs 2**e exactly (exp2 lowers to exp(e*ln2) on XLA and
+    # is off by an ulp for large |e|, which would break the exact-scaling
+    # guarantee).
+    val = jnp.ldexp(jnp.ones_like(s), e)
+    return jnp.where(ok, val, jnp.ones_like(s))
+
+
 def safe_div(num, den):
     """``num / den`` with exact-zero denominators mapped to 0.
 

@@ -44,6 +44,7 @@ from jax import lax
 from krylov_tpu.context import Context, DEFAULT_CONTEXT
 from krylov_tpu.solvers._common import (
     SolveResult,
+    pow2_scale,
     safe_div,
     scalar_dtype_of,
     tree_select,
@@ -61,6 +62,7 @@ def adaptivekskipmrr_kernel(
     ctx: Context = DEFAULT_CONTEXT,
     carry_in=None,
     emit_carry: bool = False,
+    basis_norm: bool = False,
 ) -> SolveResult:
     """``carry_in=((x, r, y, z, Ar1, pre_x, pre_res, k_cur), valid)`` resumes
     exactly from a previous chunk's ``result.carry`` — including the rollback
@@ -192,31 +194,71 @@ def adaptivekskipmrr_kernel(
         conv = cur_res < tol
 
         # ---- k-skip outer step at the current (traced) k ----
-        ArB = jnp.zeros((k_max + 2, n), vdt).at[0].set(r).at[1].set(Ar1)
-        ArB = lax.fori_loop(
-            2,
-            kk + 2,
-            lambda j, buf: buf.at[j].set(ctx.matvec(A, buf[j - 1])),
-            ArB,
-        )
-        AyB = jnp.zeros((k_max + 1, n), vdt).at[0].set(y)
-        AyB = lax.fori_loop(
-            1,
-            kk + 1,
-            lambda j, buf: buf.at[j].set(ctx.matvec(A, buf[j - 1])),
-            AyB,
-        )
+        if basis_norm:
+            # Normalized chains with carried cumulative scales (rationale:
+            # kskip_mrr module docstring).  Unused rows keep scale 1 — their
+            # Gram entries are zero anyway.
+            def _inv(s):
+                # Exact reciprocal: s is a power of two (pow2_scale).
+                return (1.0 / s).astype(vdt)
 
-        G = ctx.gram(jnp.concatenate([ArB, AyB], axis=0))
+            s2 = ctx.dot_bundle([(r, r), (Ar1, Ar1), (y, y)])
+            s_r0 = pow2_scale(jnp.sqrt(s2[0]))
+            s_r1 = pow2_scale(jnp.sqrt(s2[1]))
+            s_y0 = pow2_scale(jnp.sqrt(s2[2]))
+            ArB = (
+                jnp.zeros((k_max + 2, n), vdt)
+                .at[0].set(r * _inv(s_r0))
+                .at[1].set(Ar1 * _inv(s_r1))
+            )
+            cR = jnp.ones(k_max + 2, sdt).at[0].set(s_r0).at[1].set(s_r1)
+
+            def chain_step(j, st):
+                buf, cc = st
+                W = ctx.matvec(A, buf[j - 1])
+                s = pow2_scale(ctx.norm(W))
+                return (
+                    buf.at[j].set(W * _inv(s)),
+                    cc.at[j].set(cc[j - 1] * s),
+                )
+
+            ArB, cR = lax.fori_loop(2, kk + 2, chain_step, (ArB, cR))
+            AyB = jnp.zeros((k_max + 1, n), vdt).at[0].set(y * _inv(s_y0))
+            cY = jnp.ones(k_max + 1, sdt).at[0].set(s_y0)
+            AyB, cY = lax.fori_loop(1, kk + 1, chain_step, (AyB, cY))
+
+            cs = jnp.concatenate([cR, cY])
+            G = ctx.gram(jnp.concatenate([ArB, AyB], axis=0)) * (
+                cs[:, None] * cs[None, :]
+            )
+        else:
+            ArB = jnp.zeros((k_max + 2, n), vdt).at[0].set(r).at[1].set(Ar1)
+            ArB = lax.fori_loop(
+                2,
+                kk + 2,
+                lambda j, buf: buf.at[j].set(ctx.matvec(A, buf[j - 1])),
+                ArB,
+            )
+            AyB = jnp.zeros((k_max + 1, n), vdt).at[0].set(y)
+            AyB = lax.fori_loop(
+                1,
+                kk + 1,
+                lambda j, buf: buf.at[j].set(ctx.matvec(A, buf[j - 1])),
+                AyB,
+            )
+
+            G = ctx.gram(jnp.concatenate([ArB, AyB], axis=0))
         alpha = G[a_rows, a_cols]
         beta = G[b_rows, b_cols].at[0].set(0.0)
         delta = G[d_rows, d_cols]
 
         # MrR step 1 (reference: v3/cpu/adaptivekskipmrr.py:91-99).
+        # The vector update consumes the TRUE (unscaled) Ar[1] — the carried
+        # ``Ar1``, which row 1 of ArB holds (normalized under basis_norm).
         d0 = alpha[2] * delta[0] - beta[1] ** 2
         zeta_s = safe_div(alpha[1] * delta[0], d0)
         eta_s = -safe_div(alpha[1] * beta[1], d0)
-        y_n = (eta_s * y + zeta_s * ArB[1]).astype(vdt)
+        y_n = (eta_s * y + zeta_s * Ar1).astype(vdt)
         z_n = (eta_s * z - zeta_s * r).astype(vdt)
         r_n = r - y_n
         Ar1_n = ctx.matvec(A, r_n)

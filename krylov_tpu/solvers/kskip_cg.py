@@ -24,6 +24,14 @@ v1/processes/adaptivekskipmrr.py:5).
 
 The convergence check reads ``sqrt(a[0]) = ||r||`` from the Gram matrix, so
 it costs no extra reduction.
+
+``basis_norm=True`` builds the Krylov chains with per-vector normalization
+and carries the cumulative scale factors in the scalar dtype, rescaling the
+Gram by ``outer(c, c)`` so a/f/c take exactly their mathematical values —
+exact algebra that prevents the float32 overflow/cancellation collapse of
+the raw monomial basis on stiff operators (full rationale:
+:mod:`krylov_tpu.solvers.kskip_mrr` module docstring).  The CG vector
+updates consume only the true ``p`` and ``A p``, which are kept unscaled.
 """
 
 from __future__ import annotations
@@ -34,6 +42,7 @@ from jax import lax
 from krylov_tpu.context import Context, DEFAULT_CONTEXT
 from krylov_tpu.solvers._common import (
     SolveResult,
+    pow2_scale,
     safe_div,
     scalar_dtype_of,
     tree_select,
@@ -51,10 +60,12 @@ def kskipcg_kernel(
     ctx: Context = DEFAULT_CONTEXT,
     carry_in=None,
     emit_carry: bool = False,
+    basis_norm: bool = False,
 ) -> SolveResult:
     """``carry_in=((x, r, p), valid)`` resumes exactly from a previous
     chunk's ``result.carry``; ``emit_carry=True`` returns the post-loop
-    state.  See ``solve(chunk_iters=)``."""
+    state.  See ``solve(chunk_iters=)``.  ``basis_norm`` enables
+    normalized-basis construction (see module docstring)."""
     if k < 0:
         raise ValueError(f"k must be >= 0, got {k}")
     sdt = scalar_dtype_of(ctx, b)
@@ -89,20 +100,51 @@ def kskipcg_kernel(
         _x, _r, _p, i, _index, converged, _rt, _nt = c
         return jnp.logical_and(~converged, i < maxiter)
 
+    def _inv(s, vdt_):
+        # Exact reciprocal: s is a power of two (pow2_scale), never zero.
+        return (1.0 / s).astype(vdt_)
+
     def body(c):
         x, r, p, i, index, _, rtrace, ntrace = c
 
-        # Krylov bases (2k+1 SpMVs; static unroll).
-        Ar = [r]
-        for _ in range(k):
-            Ar.append(ctx.matvec(A, Ar[-1]))
-        Ap = [p]
-        for _ in range(k + 1):
-            Ap.append(ctx.matvec(A, Ap[-1]))
+        if basis_norm:
+            # Normalized chains with carried cumulative scales (same SpMV
+            # count as the raw chains: 1 + 2k); the rescaled Gram equals
+            # the true-bundle Gram exactly.
+            Ap1 = ctx.matvec(A, p)
+            s2 = ctx.dot_bundle([(r, r), (p, p), (Ap1, Ap1)])
+            s_r0 = pow2_scale(jnp.sqrt(s2[0]))
+            s_p0 = pow2_scale(jnp.sqrt(s2[1]))
+            s_p1 = pow2_scale(jnp.sqrt(s2[2]))
+            Vr = [r * _inv(s_r0, vdt)]
+            Vp = [p * _inv(s_p0, vdt), Ap1 * _inv(s_p1, vdt)]
+            c_r = [s_r0]
+            c_p = [s_p0, s_p1]
+            for _ in range(k):
+                Wr = ctx.matvec(A, Vr[-1])
+                Wp = ctx.matvec(A, Vp[-1])
+                n2 = ctx.dot_bundle([(Wr, Wr), (Wp, Wp)])
+                nr = pow2_scale(jnp.sqrt(n2[0]))
+                np_ = pow2_scale(jnp.sqrt(n2[1]))
+                Vr.append(Wr * _inv(nr, vdt))
+                c_r.append(c_r[-1] * nr)
+                Vp.append(Wp * _inv(np_, vdt))
+                c_p.append(c_p[-1] * np_)
+            cs = jnp.stack(c_r + c_p)
+            G = ctx.gram(jnp.stack(Vr + Vp)) * (cs[:, None] * cs[None, :])
+            Ap = [p, Ap1]  # vector updates consume the true p and A p
+        else:
+            # Krylov bases (2k+1 SpMVs; static unroll).
+            Ar = [r]
+            for _ in range(k):
+                Ar.append(ctx.matvec(A, Ar[-1]))
+            Ap = [p]
+            for _ in range(k + 1):
+                Ap.append(ctx.matvec(A, Ap[-1]))
 
-        # Fused bundle: one Gram matmul, one collective.
-        B = jnp.stack(Ar + Ap)
-        G = ctx.gram(B)
+            # Fused bundle: one Gram matmul, one collective.
+            B = jnp.stack(Ar + Ap)
+            G = ctx.gram(B)
 
         a = [G[j // 2, j // 2 + j % 2] for j in range(2 * k + 1)]
         f = [G[K + j // 2, K + j // 2 + j % 2] for j in range(2 * k + 3)]

@@ -22,6 +22,24 @@ inner step just computed exactly that value (reference:
 v3/cpu/kskipmrr.py:92).  Here ``Ar[1]`` is carried across outer iterations
 (seeded with one extra SpMV after the init phase), saving one SpMV per outer
 iteration with bit-identical numerics.
+
+Basis stabilization (``basis_norm=True``): the raw monomial basis
+``A^j r`` degenerates in working precision — ``||A^j r||`` grows like
+``lambda_max^j`` and in float32 the Gram entries overflow outright at
+k=8 on stiff operators (recorded NaN on the round-3 captures), while the
+recurrences lose everything to cancellation well before that.  With
+``basis_norm`` each new basis vector is scaled to unit norm as it is
+built and the cumulative scale factors are carried in the SCALAR dtype;
+the Gram of the normalized basis (all entries O(1)) is then rescaled by
+``outer(c, c)`` so alpha/beta/delta take exactly their mathematical
+values — exact algebra, no approximation, and the recurrences are
+untouched.  Combined with ``scalar_dtype=float64`` this gives f32 vectors
++ f64 bundle/recurrences without overflow: the TPU equivalent of the
+reference's all-f64 policy (reference: v3/cpu/common.py:23) on hard
+problems.  Costs: one extra norm reduction per basis vector, batched in
+pairs across the Ar/Ay chains (k+1 extra fused psums per outer iteration
+when distributed).  The vector updates are unaffected (they only consume
+the carried true ``Ar[1]``, never the higher powers).
 """
 
 from __future__ import annotations
@@ -32,6 +50,7 @@ from jax import lax
 from krylov_tpu.context import Context, DEFAULT_CONTEXT
 from krylov_tpu.solvers._common import (
     SolveResult,
+    pow2_scale,
     safe_div,
     scalar_dtype_of,
     tree_select,
@@ -59,11 +78,13 @@ def kskipmrr_kernel(
     ctx: Context = DEFAULT_CONTEXT,
     carry_in=None,
     emit_carry: bool = False,
+    basis_norm: bool = False,
 ) -> SolveResult:
     """``carry_in=((x, r, y, z, Ar1), valid)`` resumes exactly from a
     previous chunk's ``result.carry`` (the outer iteration is fully
     determined by these five vectors); ``emit_carry=True`` returns them.
-    See ``solve(chunk_iters=)``."""
+    See ``solve(chunk_iters=)``.  ``basis_norm`` enables normalized-basis
+    construction (see module docstring)."""
     if k < 0:
         raise ValueError(f"k must be >= 0, got {k}")
     sdt = scalar_dtype_of(ctx, b)
@@ -121,19 +142,50 @@ def kskipmrr_kernel(
         i, converged = c[5], c[7]
         return jnp.logical_and(~converged, i < maxiter)
 
+    def _inv(s, vdt_):
+        # Exact reciprocal: s is a power of two (pow2_scale), never zero.
+        return (1.0 / s).astype(vdt_)
+
     def body(c):
         x, r, y, z, Ar1, i, index, _, rtrace, ntrace = c
 
-        # Bases: Ar[0..k+1] (Ar[1] carried), Ay[0..k] — 2k SpMVs.
-        Ar = [r, Ar1]
-        for _ in range(k):
-            Ar.append(ctx.matvec(A, Ar[-1]))
-        Ay = [y]
-        for _ in range(k):
-            Ay.append(ctx.matvec(A, Ay[-1]))
+        if basis_norm:
+            # Normalized monomial basis with carried cumulative scales (see
+            # module docstring): V rows are unit-norm, c holds the exact
+            # scale of each true basis vector in the scalar dtype, and the
+            # rescaled Gram equals the true-bundle Gram exactly.
+            s2 = ctx.dot_bundle([(r, r), (Ar1, Ar1), (y, y)])
+            s_r0 = pow2_scale(jnp.sqrt(s2[0]))
+            s_r1 = pow2_scale(jnp.sqrt(s2[1]))
+            s_y0 = pow2_scale(jnp.sqrt(s2[2]))
+            Vr = [r * _inv(s_r0, vdt), Ar1 * _inv(s_r1, vdt)]
+            Vy = [y * _inv(s_y0, vdt)]
+            c_r = [s_r0, s_r1]
+            c_y = [s_y0]
+            for _ in range(k):
+                Wr = ctx.matvec(A, Vr[-1])
+                Wy = ctx.matvec(A, Vy[-1])
+                n2 = ctx.dot_bundle([(Wr, Wr), (Wy, Wy)])
+                nr = pow2_scale(jnp.sqrt(n2[0]))
+                ny = pow2_scale(jnp.sqrt(n2[1]))
+                Vr.append(Wr * _inv(nr, vdt))
+                c_r.append(c_r[-1] * nr)
+                Vy.append(Wy * _inv(ny, vdt))
+                c_y.append(c_y[-1] * ny)
+            cs = jnp.stack(c_r + c_y)
+            G = ctx.gram(jnp.stack(Vr + Vy)) * (cs[:, None] * cs[None, :])
+            Ar = [r, Ar1]  # vector updates consume only the true Ar[1]
+        else:
+            # Bases: Ar[0..k+1] (Ar[1] carried), Ay[0..k] — 2k SpMVs.
+            Ar = [r, Ar1]
+            for _ in range(k):
+                Ar.append(ctx.matvec(A, Ar[-1]))
+            Ay = [y]
+            for _ in range(k):
+                Ay.append(ctx.matvec(A, Ay[-1]))
 
-        B = jnp.stack(Ar + Ay)
-        G = ctx.gram(B)
+            B = jnp.stack(Ar + Ay)
+            G = ctx.gram(B)
 
         alpha = [G[j // 2, j // 2 + j % 2] for j in range(2 * k + 3)]
         beta = [jnp.zeros((), sdt)] + [

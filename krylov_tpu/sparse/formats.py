@@ -45,8 +45,8 @@ _FORCE_SLICE_GATHER = False
 
 
 def gather_rows(x: jax.Array, idx: jax.Array) -> jax.Array:
-    """``x[idx]`` for integer ``idx`` of any shape — the irregular-SpMV
-    gather primitive.
+    """``x[idx]`` for 1-D ``x`` and integer ``idx`` of any shape — the
+    irregular-SpMV gather primitive.
 
     On TPU, XLA lowers an element gather to ~7.2 ns per gathered ELEMENT
     (serialized addressing; measured on v5e, benchmarks/gather_probe.py),
@@ -72,7 +72,9 @@ def gather_rows(x: jax.Array, idx: jax.Array) -> jax.Array:
     xp = jnp.pad(x, (0, n_pad - n)) if n_pad != n else x
     slices = jnp.take(xp.reshape(n_pad // w, w), idx // w, axis=0)
     sel = (idx[..., None] % w) == jnp.arange(w, dtype=idx.dtype)
-    return jnp.sum(slices * sel.astype(x.dtype), axis=-1)
+    # where (not multiply-sum of the one-hot): 0 * inf = NaN would let a
+    # non-finite x entry poison gathers of OTHER indices in its W-block.
+    return jnp.sum(jnp.where(sel, slices, 0), axis=-1)
 
 
 @dataclasses.dataclass(frozen=True)
