@@ -22,9 +22,21 @@ compiler ACTUALLY emits, from the compiled HLO itself:
 3. **Wall-clock sanity** on the host-platform 8-device mesh: halo vs forced
    allgather on the same operator (inter-device copies cost there too).
 
+4. **Multi-host / DCN structure** (``--dcn-topology``) — the sharded
+   ADAPTIVE solve is AOT-compiled against a 2-slice v5e:2x4 topology (16
+   chips, 4 hosts, two ICI domains joined by DCN — compile-only, no
+   hardware).  On such a target XLA lowers cross-slice transfers to
+   megascale ``send``/``recv`` host-transfer pairs while intra-slice
+   boundaries stay ``collective-permute`` on ICI.  The harness separates
+   the two and reports payload bytes for each: the halo design ships ONE
+   boundary strip (grid-row bytes, constant in N/devices) across the DCN
+   seam per SpMV, where the reference design allgathers the full iterate
+   vector through every seam (reference: v3/cpu/mpi/common.py:39-43).
+
 Usage:
   JAX_PLATFORMS=cpu python benchmarks/overlap_analysis.py          # 1 + 3
   python benchmarks/overlap_analysis.py --tpu-topology             # adds 2
+  python benchmarks/overlap_analysis.py --dcn-topology             # adds 4
 """
 
 import argparse
@@ -82,6 +94,27 @@ def _shape_bytes(type_str):
                 elems *= int(d)
         total += elems * _DTYPE_BYTES[dt]
     return total
+
+
+_MEGASCALE_RE = re.compile(r"=\s*(.*?)\b(send|recv)\(")
+
+
+def dcn_transfers_in(hlo_text):
+    """[(kind, payload_bytes)] for megascale (cross-slice DCN) send/recv.
+
+    On multislice targets XLA lowers cross-slice collective-permute edges to
+    host-transfer ``send``/``recv`` pairs handled by the megascale runtime
+    (frontend attribute ``xla_megascale_runtime``); payload is read from the
+    transferred buffer's shape."""
+    out = []
+    for ln in hlo_text.splitlines():
+        if "xla_megascale_runtime" not in ln:
+            continue
+        m = _MEGASCALE_RE.search(ln)
+        if not m:
+            continue
+        out.append((f"dcn_{m.group(2)}", _shape_bytes(m.group(1))))
+    return out
 
 
 def collectives_in(hlo_text):
@@ -169,7 +202,7 @@ def _specs_as(op, op_specs, strategy):
     )
 
 
-def build_and_lower(mesh, A, maxiter=500, method="mrr", strategy=None):
+def build_and_lower(mesh, A, maxiter=500, method="mrr", strategy=None, k=0):
     (axis,) = mesh.axis_names
     n_dev = mesh.devices.size
     op, op_specs = shard_operator(A, n_dev, axis=axis)
@@ -179,29 +212,51 @@ def build_and_lower(mesh, A, maxiter=500, method="mrr", strategy=None):
             op, op_specs = shard_operator(A.to_dia(), n_dev, axis=axis)
         op, op_specs = _specs_as(op, op_specs, "allgather")
     ctx = Context(axis=axis)
-    fn = _build(mesh, axis, method, maxiter, 0, ctx, op_specs, None, False)
+    fn = _build(
+        mesh, axis, method, maxiter, k, ctx, op_specs, None,
+        method == "adaptivekskipmrr",
+    )
     n = A.shape[0]
     b = jax.ShapeDtypeStruct((n,), A.dtype)
     tol = jax.ShapeDtypeStruct((), A.dtype)
     return fn.lower(op, b, b, tol), op
 
 
-def analyze_mesh(mesh, A, emit, label):
+def analyze_mesh(mesh, A, emit, label, method="mrr", k=0, dcn=False):
     for strategy in ("halo", "allgather"):
-        lowered, op = build_and_lower(mesh, A, strategy=strategy)
+        lowered, op = build_and_lower(
+            mesh, A, strategy=strategy, method=method, k=k
+        )
         hlo = lowered.compile().as_text()
         summary = summarize(hlo)
         windows = overlap_windows(hlo)
-        emit(
-            dict(
-                analysis=label,
-                strategy=strategy if op.strategy == strategy else op.strategy,
-                n=A.shape[0],
-                devices=int(mesh.devices.size),
-                collectives=summary,
-                async_permute_windows=windows if windows else None,
-            )
+        payload = dict(
+            analysis=label,
+            method=method,
+            strategy=strategy if op.strategy == strategy else op.strategy,
+            n=A.shape[0],
+            devices=int(mesh.devices.size),
+            collectives=summary,
+            async_permute_windows=windows if windows else None,
         )
+        if dcn:
+            dt = dcn_transfers_in(hlo)
+            by = {}
+            for kind, b in dt:
+                cnt, tot = by.get(kind, (0, 0))
+                by[kind] = (cnt + 1, tot + b)
+            payload["dcn_transfers"] = {
+                kk: {"count": c, "payload_bytes": t}
+                for kk, (c, t) in by.items()
+            }
+            # per-seam halo payload: one grid row of the 2-D operator
+            payload["halo_strip_bytes"] = (
+                int(np.sqrt(A.shape[0])) * np.dtype(A.dtype).itemsize
+            )
+            payload["reference_allgather_bytes_full_vector"] = (
+                A.shape[0] * np.dtype(A.dtype).itemsize
+            )
+        emit(payload)
 
 
 def wallclock_cpu_mesh(mesh, A, emit, repeats=3):
@@ -255,6 +310,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tpu-topology", action="store_true",
                     help="AOT-compile against an 8-chip v5e topology")
+    ap.add_argument("--dcn-topology", action="store_true",
+                    help="AOT-compile the adaptive solve against a 2-slice "
+                         "(DCN-joined) v5e topology, 16 chips / 4 hosts")
     ap.add_argument("--nx", type=int, default=1024)
     args = ap.parse_args()
 
@@ -264,6 +322,23 @@ def main():
     dtype = np.float32
     A = laplace2d(args.nx, dtype=dtype)
 
+    if args.dcn_topology:
+        from jax.experimental import topologies
+
+        topo = topologies.get_topology_desc(
+            platform="tpu", topology_name="v5e:2x4", num_slices=2
+        )
+        # order the row axis so exactly one halo boundary crosses the
+        # slice (DCN) seam: slice-major device order
+        devs = sorted(
+            topo.devices, key=lambda d: (d.slice_index, d.process_index, d.id)
+        )
+        mesh = Mesh(np.array(devs), ("rows",))
+        analyze_mesh(
+            mesh, A, emit, "tpu_v5e_2x4_x2slices_dcn_aot",
+            method="adaptivekskipmrr", k=4, dcn=True,
+        )
+        return
     if args.tpu_topology:
         from jax.experimental import topologies
 
