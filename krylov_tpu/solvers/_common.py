@@ -49,10 +49,18 @@ def pow2_scale(s):
     """
     ok = jnp.isfinite(s) & (s > 0)
     e = jnp.round(jnp.log2(jnp.where(ok, s, 1.0))).astype(jnp.int32)
-    # ldexp constructs 2**e exactly (exp2 lowers to exp(e*ln2) on XLA and
-    # is off by an ulp for large |e|, which would break the exact-scaling
-    # guarantee).
-    val = jnp.ldexp(jnp.ones_like(s), e)
+    # Construct 2**e exactly from the float32 bit pattern (e+127)<<23.
+    # exp2 lowers to exp(e*ln2) on XLA and is off by an ulp for large |e|
+    # (breaking the exact-scaling guarantee); ldexp on float64 lowers to
+    # s64 bitcast-converts that the TPU X64-rewriting pass rejects.  All
+    # per-step norms fit the float32 exponent range (the basis vectors are
+    # working-precision); the clip makes out-of-range float64 norms scale
+    # partially (still an exact power of two) rather than overflow.
+    e = jnp.clip(e, -126, 127)
+    val32 = jax.lax.bitcast_convert_type(
+        ((e + 127) << 23).astype(jnp.int32), jnp.float32
+    )
+    val = val32.astype(s.dtype)
     return jnp.where(ok, val, jnp.ones_like(s))
 
 
