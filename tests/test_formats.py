@@ -145,6 +145,29 @@ def test_gather_rows_slice_formulation_matches_element_gather(rng):
     np.testing.assert_array_equal(np.asarray(plain), np.asarray(sliced))
 
 
+def test_gather_rows_nonfinite_neighbors_do_not_poison(rng):
+    """A NaN/inf in x must only affect gathers that actually index it — not
+    gathers of OTHER elements sharing its 16-wide slice (the old one-hot
+    multiply-sum turned 0 * inf into NaN; ADVICE r3)."""
+    from krylov_tpu.sparse import formats
+
+    x_np = rng.standard_normal(256).astype(np.float32)
+    x_np[5] = np.inf
+    x_np[130] = np.nan
+    x = jnp.asarray(x_np)
+    # indices adjacent to (same W-slice as) the poisoned entries, but never
+    # equal to them
+    idx = jnp.asarray(np.array([[4, 6, 12], [128, 131, 140]], dtype=np.int32))
+    old = formats._FORCE_SLICE_GATHER
+    formats._FORCE_SLICE_GATHER = True
+    try:
+        out = np.asarray(formats.gather_rows(x, idx))
+    finally:
+        formats._FORCE_SLICE_GATHER = old
+    assert np.isfinite(out).all()
+    np.testing.assert_array_equal(out, x_np[np.asarray(idx)])
+
+
 def test_hyb_matvec_with_forced_slice_gather(rng):
     """Full HYB matvec through the slice-gather path vs scipy ground truth."""
     from krylov_tpu.sparse import formats
