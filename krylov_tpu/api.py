@@ -57,6 +57,12 @@ def _get_kernel(method: str):
     except ImportError:  # pragma: no cover
         pass
     try:
+        from krylov_tpu.solvers.cacg import cacg_kernel
+
+        table["cacg"] = cacg_kernel
+    except ImportError:  # pragma: no cover
+        pass
+    try:
         from krylov_tpu.solvers.pipelined import (
             chronopoulos_gear_kernel,
             gropp_kernel,
@@ -81,6 +87,7 @@ _METHOD_NAMES = {
     "kskipcg": "k-skip CG",
     "kskipmrr": "k-skip MrR",
     "adaptivekskipmrr": "Adaptive k-skip MrR",
+    "cacg": "CA-CG (Chebyshev basis)",
     "pcg": "Preconditioned CG",
     "chronopoulos_gear": "chronopoulos gear",
     "gropp": "gropp",
@@ -88,22 +95,32 @@ _METHOD_NAMES = {
 }
 
 _KSKIP_METHODS = {"kskipcg", "kskipmrr", "adaptivekskipmrr"}
+# CA-CG: takes the skip size via ``k`` (as s) plus static spectral bounds.
+_CACG_METHODS = {"cacg"}
 _PRECONDITIONED_METHODS = {"pcg", "chronopoulos_gear", "gropp", "pipelined_cg"}
 # Methods whose kernels can thread their full recurrence state across
 # chunked dispatches (carry_in/emit_carry) — chunk_iters is EXACT for these.
-_CARRY_METHODS = {"cg", "mrr", "kskipcg", "kskipmrr", "adaptivekskipmrr"}
+_CARRY_METHODS = {
+    "cg", "mrr", "kskipcg", "kskipmrr", "adaptivekskipmrr", "cacg",
+}
 
 
 @partial(
-    jax.jit, static_argnames=("method", "maxiter", "k", "ctx", "basis_norm")
+    jax.jit,
+    static_argnames=("method", "maxiter", "k", "ctx", "basis_norm", "sb"),
 )
-def _run_kernel(A, b, x0, tol, method, maxiter, k, ctx, M=None, basis_norm=False):
+def _run_kernel(
+    A, b, x0, tol, method, maxiter, k, ctx, M=None, basis_norm=False, sb=None
+):
     kernel = _get_kernel(method)
     kwargs = dict(tol=tol, maxiter=maxiter, ctx=ctx)
     if method in _KSKIP_METHODS:
         kwargs["k"] = k
         if basis_norm:
             kwargs["basis_norm"] = True
+    if method in _CACG_METHODS:
+        kwargs["s"] = max(k, 1)
+        kwargs["lmin"], kwargs["lmax"] = sb
     if method in _PRECONDITIONED_METHODS:
         kwargs["M"] = M
     return kernel(A, b, x0, **kwargs)
@@ -243,13 +260,13 @@ def _run_fused(A, b, x0, tol, method, maxiter, k=0):
     jax.jit,
     static_argnames=(
         "method", "maxiter", "k", "ctx", "use_fused", "restarts",
-        "emit_carry", "basis_norm",
+        "emit_carry", "basis_norm", "sb",
     ),
 )
 def _run_single(
     A, b, x0, tol, M, carry=None, *,
     method, maxiter, k, ctx, use_fused, restarts, emit_carry=False,
-    basis_norm=False,
+    basis_norm=False, sb=None,
 ):
     """Single-device solve, optionally followed by ``restarts`` device-side
     defect-correction passes.
@@ -280,10 +297,13 @@ def _run_single(
                 kw["k"] = k
                 if basis_norm:
                     kw["basis_norm"] = True
+            if method in _CACG_METHODS:
+                kw["s"] = max(k, 1)
+                kw["lmin"], kw["lmax"] = sb
             return kernel(A, bb, x0b, **kw)
         return _run_kernel(
             A, bb, x0b, tolb, method, maxiter, k, ctx, M,
-            basis_norm=basis_norm,
+            basis_norm=basis_norm, sb=sb,
         )
 
     result = base(b, x0, tol)
@@ -333,9 +353,22 @@ def _with_restart_fields(result, x, iters, true_final, tol):
     )
 
 
+def _resolve_bounds(A, method, spectral_bounds):
+    """Static (lmin, lmax) for the Chebyshev-basis methods; Lanczos-estimated
+    when not supplied (same machinery as the Chebyshev preconditioner)."""
+    if method not in _CACG_METHODS:
+        return None
+    if spectral_bounds is not None:
+        lo, hi = spectral_bounds
+        return (float(lo), float(hi))
+    from krylov_tpu.precond import lanczos_bounds
+
+    return tuple(lanczos_bounds(A))
+
+
 def _plan_single(
     A, b, x0, tol, method, maxiter, k, M, scalar_dtype, fused, restarts,
-    carry=None, emit_carry=False, basis_norm=False,
+    carry=None, emit_carry=False, basis_norm=False, spectral_bounds=None,
 ):
     """(jitted fn, dynamic args, static kwargs) for a single-device solve."""
     if basis_norm and fused is True:
@@ -358,6 +391,7 @@ def _plan_single(
         restarts=restarts,
         emit_carry=emit_carry,
         basis_norm=basis_norm and method in _KSKIP_METHODS,
+        sb=_resolve_bounds(A, method, spectral_bounds),
     )
     args = (A, b, x0, jnp.asarray(tol, dtype=b.dtype), M, carry)
     return _run_single, args, statics
@@ -377,6 +411,7 @@ def solve_device(
     fused=None,
     restarts: int = 0,
     basis_norm: bool = False,
+    spectral_bounds=None,
 ):
     """Like :func:`solve` but returns the raw on-device
     :class:`~krylov_tpu.solvers.SolveResult` (fixed-shape traces, no host
@@ -401,10 +436,11 @@ def solve_device(
         if x0 is None
         else jnp.asarray(x0, dtype=A.dtype)
     )
+    spectral_bounds = _resolve_bounds(A, method, spectral_bounds)
     if mesh is None:
         fn, args, statics = _plan_single(
             A, b, x0, tol, method, maxiter, k, M, scalar_dtype, fused,
-            restarts, basis_norm=basis_norm,
+            restarts, basis_norm=basis_norm, spectral_bounds=spectral_bounds,
         )
         return fn(*args, **statics)
     if restarts:
@@ -414,6 +450,7 @@ def solve_device(
     return solve_sharded(
         A, b, x0, tol=tol, method=method, maxiter=maxiter, k=k, M=M,
         mesh=mesh, scalar_dtype=scalar_dtype, basis_norm=basis_norm,
+        spectral_bounds=spectral_bounds,
     )
 
 
@@ -449,7 +486,7 @@ def _aot_compile(fn, args, statics):
 
 def _solve_chunked(
     A, b, x0, tol, method, maxiter, k, M, scalar_dtype, fused, chunk_iters,
-    basis_norm=False,
+    basis_norm=False, spectral_bounds=None,
 ):
     """Chunked solve: repeated ``chunk_iters``-bounded dispatches (see
     ``solve``'s ``chunk_iters`` doc).  For every method in
@@ -481,6 +518,7 @@ def _solve_chunked(
             "cg": (z, z, z, jnp.zeros((), sdt)),  # (x, r, p, gamma)
             "mrr": (z, z, z, z),  # (x, r, y, z)
             "kskipcg": (z, z, z),  # (x, r, p)
+            "cacg": (z, z, z),  # (x, r, p)
             "kskipmrr": (z, z, z, z, z),  # (x, r, y, z, Ar1)
             # (x, r, y, z, Ar1, pre_x, pre_res, k_cur)
             "adaptivekskipmrr": (
@@ -497,12 +535,17 @@ def _solve_chunked(
         fn, args, statics = _plan_single(
             A, b, x_cur, tol, method, chunk_iters, k, M,
             scalar_dtype, fused, 0, carry=carry, emit_carry=exact,
-            basis_norm=basis_norm,
+            basis_norm=basis_norm, spectral_bounds=spectral_bounds,
         )
         compiled, ct = _aot_compile(fn, args, statics)
         compile_total += ct
         t0 = time.perf_counter()
-        dev_res = jax.block_until_ready(compiled(*args))
+        dev_res = compiled(*args)
+        # Completion barrier: fetch one result scalar.  On remote-attached
+        # backends block_until_ready can return at SUBMISSION (observed:
+        # a 2.4 s chunk "completing" in 4 ms), silently under-reporting
+        # info["time"]; a host fetch is the only trustworthy signal.
+        int(np.asarray(dev_res.iterations))
         dt = time.perf_counter() - t0
         if exact:
             carry = (dev_res.carry, jnp.ones((), bool))
@@ -559,6 +602,7 @@ def solve(
     restarts: int = 0,
     chunk_iters: Optional[int] = None,
     basis_norm: bool = False,
+    spectral_bounds=None,
     verbose: bool = False,
 ):
     """Solve the SPD system ``A x = b``; returns ``(x, info)``.
@@ -584,6 +628,13 @@ def solve(
         the returned ``x`` is then float64 and ``info`` carries
         ``true_residual`` and ``refinements``.  Default 0 preserves exact
         reference semantics (and the working-precision return dtype).
+      spectral_bounds: ``(lmin, lmax)`` interval for the Chebyshev-basis
+        method ``cacg`` (estimated by a 16-step Lanczos run when omitted —
+        the same machinery as the Chebyshev preconditioner).  ``cacg``
+        reads the skip size from ``k`` (s CG steps per reduction) and is
+        the float32-stable communication-avoiding alternative to
+        ``kskipcg`` for stiff systems (see
+        :mod:`krylov_tpu.solvers.cacg`).
       basis_norm: (k-skip methods only) build the Krylov chains with
         per-vector normalization, carrying the exact cumulative scales
         through the coefficient bundle — exact algebra that prevents the
@@ -656,6 +707,10 @@ def solve(
 
     compile_time = None
     chunk_info = None
+    if method in _CACG_METHODS:
+        # Resolve ONCE (a 16-SpMV Lanczos run) so chunk/restart dispatches
+        # and the mesh path all reuse the same static bounds.
+        spectral_bounds = _resolve_bounds(A, method, spectral_bounds)
     if mesh is None:
         # AOT-compile (cached), then time EXECUTION only — reference
         # semantics: the loop is timed, setup is not (v3/cpu/common.py:9-18).
@@ -679,16 +734,21 @@ def solve(
             result, chunk_info, compile_time = _solve_chunked(
                 A, b_dev, x0_dev, tol, method, maxiter_eff, k, M,
                 scalar_dtype, fused, chunk_iters, basis_norm=basis_norm,
+                spectral_bounds=spectral_bounds,
             )
             elapsed = chunk_info["time"]
         else:
             fn, args, statics = _plan_single(
                 A, b_dev, x0_dev, tol, method, maxiter_eff, k, M,
                 scalar_dtype, fused, restarts, basis_norm=basis_norm,
+                spectral_bounds=spectral_bounds,
             )
             compiled, compile_time = _aot_compile(fn, args, statics)
             t0 = time.perf_counter()
-            result = jax.block_until_ready(compiled(*args))
+            result = compiled(*args)
+            # completion barrier (see _solve_chunked): block_until_ready is
+            # not sufficient on remote-attached backends
+            int(np.asarray(result.iterations))
             elapsed = time.perf_counter() - t0
     else:
         # Mesh path: AOT-compiled through the shared cache too, so
@@ -723,6 +783,7 @@ def solve(
             mesh=mesh,
             scalar_dtype=scalar_dtype,
             basis_norm=basis_norm,
+            spectral_bounds=spectral_bounds,
             return_times=True,
         )
 
@@ -837,6 +898,7 @@ def solve_batched(
     scalar_dtype=None,
     fused=None,
     basis_norm: bool = False,
+    spectral_bounds=None,
 ):
     """Solve ``A x_i = b_i`` for a whole batch of right-hand sides at once.
 
@@ -879,6 +941,7 @@ def solve_batched(
         return solve_sharded(
             A, B, X0, tol=tol, method=method, maxiter=maxiter, k=k, M=M,
             mesh=mesh, scalar_dtype=scalar_dtype, basis_norm=basis_norm,
+            spectral_bounds=_resolve_bounds(A, method, spectral_bounds),
         )
     if basis_norm and fused is True:
         raise ValueError(
@@ -892,17 +955,19 @@ def solve_batched(
         A, B, X0, jnp.asarray(tol, dtype=A.dtype), M,
         method=method, maxiter=maxiter, k=k, ctx=ctx, use_fused=use_fused,
         basis_norm=basis_norm and method in _KSKIP_METHODS,
+        sb=_resolve_bounds(A, method, spectral_bounds),
     )
 
 
 @partial(
     jax.jit,
     static_argnames=(
-        "method", "maxiter", "k", "ctx", "use_fused", "basis_norm"
+        "method", "maxiter", "k", "ctx", "use_fused", "basis_norm", "sb"
     ),
 )
 def _run_batched(
-    A, B, X0, tol, M, *, method, maxiter, k, ctx, use_fused, basis_norm=False
+    A, B, X0, tol, M, *,
+    method, maxiter, k, ctx, use_fused, basis_norm=False, sb=None,
 ):
     if use_fused:
         # Pallas whole-solve kernels hold the full working set in VMEM, so
@@ -920,6 +985,9 @@ def _run_batched(
         kwargs["k"] = k
         if basis_norm:
             kwargs["basis_norm"] = True
+    if method in _CACG_METHODS:
+        kwargs["s"] = max(k, 1)
+        kwargs["lmin"], kwargs["lmax"] = sb
     if method in _PRECONDITIONED_METHODS:
         kwargs["M"] = M
 

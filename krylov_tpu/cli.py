@@ -26,6 +26,8 @@ Subcommands::
       "maxiter":  null,
       "dtype":   "float32" | "float64",
       "refine":   0,
+      "basis_norm": false,    // k-skip: pow2-normalized Krylov chains
+      "scalar_dtype": null | "float64",   // wide scalar recurrences
       "precond": null | "jacobi" | "chebyshev",
       "mesh":     false,      // true => 1-D mesh over all devices
       "out":     "solution.npz"   // checkpoint.save() format
@@ -114,13 +116,15 @@ def _cmd_solve(args) -> int:
     # CLI flags override config values
     for key in (
         "matrix", "b", "method", "k", "tol", "maxiter", "dtype",
-        "refine", "precond", "out", "chunk_iters",
+        "refine", "precond", "out", "chunk_iters", "scalar_dtype",
     ):
         v = getattr(args, key, None)
         if v is not None:
             cfg[key] = v
     if args.mesh:
         cfg["mesh"] = True
+    if args.basis_norm:
+        cfg["basis_norm"] = True
     if args.fixture:
         cfg["matrix"] = {"fixture": args.fixture, "n": args.n}
 
@@ -130,7 +134,10 @@ def _cmd_solve(args) -> int:
         return 2
 
     dtype = np.dtype(cfg.get("dtype", "float32"))
-    if dtype == np.float64:
+    scalar_dtype = cfg.get("scalar_dtype")
+    if scalar_dtype is not None:
+        scalar_dtype = np.dtype(scalar_dtype)
+    if dtype == np.float64 or scalar_dtype == np.float64:
         # Without x64, JAX silently downcasts to float32 while the banner
         # and checkpoint would still claim a float64 solve ran.
         import jax
@@ -156,6 +163,8 @@ def _cmd_solve(args) -> int:
         M=M,
         mesh=mesh,
         refine=int(cfg.get("refine", 0)),
+        scalar_dtype=scalar_dtype,
+        basis_norm=bool(cfg.get("basis_norm", False)),
         chunk_iters=(
             int(cfg["chunk_iters"]) if cfg.get("chunk_iters") else None
         ),
@@ -236,6 +245,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--dtype", choices=["float32", "float64"])
     s.add_argument("--refine", type=int,
                    help="mixed-precision refinement steps")
+    s.add_argument("--basis-norm", dest="basis_norm", action="store_true",
+                   help="k-skip: pow2-normalized Krylov chains (float32 "
+                        "stability on ill-conditioned systems)")
+    s.add_argument("--scalar-dtype", dest="scalar_dtype",
+                   help="dtype for scalar recurrences (e.g. float64)")
     s.add_argument("--chunk-iters", dest="chunk_iters", type=int,
                    help="bound each device dispatch to this many iterations "
                    "(exact state carry for cg/mrr; warm restart otherwise)")

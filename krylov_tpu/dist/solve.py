@@ -28,6 +28,7 @@ from krylov_tpu.sparse.convert import pad_to_multiple
 from krylov_tpu.dist.spmv import shard_operator
 
 _KSKIP_METHODS = {"kskipcg", "kskipmrr", "adaptivekskipmrr"}
+_CACG_METHODS = {"cacg"}
 _PRECONDITIONED_METHODS = {"pcg", "chronopoulos_gear", "gropp", "pipelined_cg"}
 
 _CACHE: dict = {}
@@ -84,11 +85,11 @@ def shard_preconditioner(M, n_devices: int, axis: str):
 
 def _build(
     mesh, axis, method, maxiter, k, ctx, op_specs, m_specs, has_k_trace,
-    batched=False, basis_norm=False,
+    batched=False, basis_norm=False, sb=None,
 ):
     key = (
         mesh, axis, method, maxiter, k, ctx, op_specs, m_specs, has_k_trace,
-        batched, basis_norm,
+        batched, basis_norm, sb,
     )
     if key in _CACHE:
         return _CACHE[key]
@@ -118,6 +119,9 @@ def _build(
             kwargs["k"] = k
             if basis_norm:
                 kwargs["basis_norm"] = True
+        if method in _CACG_METHODS:
+            kwargs["s"] = max(k, 1)
+            kwargs["lmin"], kwargs["lmax"] = sb
         if method in _PRECONDITIONED_METHODS:
             kwargs["M"] = maybe_m[0] if maybe_m else None
 
@@ -152,6 +156,7 @@ def solve_sharded(
     mesh: Mesh,
     scalar_dtype=None,
     basis_norm: bool = False,
+    spectral_bounds=None,
     return_times: bool = False,
 ):
     """Row-partition the system over ``mesh`` and solve under ``shard_map``.
@@ -188,9 +193,14 @@ def solve_sharded(
     m_op, m_specs = shard_preconditioner(M_p, n_devices, axis=axis)
     ctx = Context(axis=axis, scalar_dtype=scalar_dtype)
     has_k_trace = method == "adaptivekskipmrr"
+    if method in _CACG_METHODS and spectral_bounds is None:
+        from krylov_tpu.api import _resolve_bounds
+
+        spectral_bounds = _resolve_bounds(A, method, None)
     fn = _build(
         mesh, axis, method, maxiter, k, ctx, op_specs, m_specs, has_k_trace,
         batched=batched, basis_norm=basis_norm,
+        sb=tuple(spectral_bounds) if spectral_bounds else None,
     )
 
     args = (op, jnp.asarray(b_p), jnp.asarray(x0_p), jnp.asarray(tol))
@@ -203,7 +213,10 @@ def solve_sharded(
 
     compiled, compile_s = _aot_compile(fn, args, {})
     t0 = _time.perf_counter()
-    result = jax.block_until_ready(compiled(*args))
+    result = compiled(*args)
+    # completion barrier: block_until_ready can return at submission on
+    # remote-attached backends (see api._solve_chunked)
+    np.asarray(result.iterations)
     exec_s = _time.perf_counter() - t0
     if pad:
         import dataclasses as _dc

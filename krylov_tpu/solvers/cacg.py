@@ -1,0 +1,243 @@
+"""Communication-avoiding CG with a Chebyshev s-step basis (``cacg``).
+
+Beyond-reference capability.  The reference's k-skip family advances its
+inner products through scalar recurrences derived for the MONOMIAL basis
+``A^j r`` (reference: v3/cpu/kskipcg.py:59-64), whose conditioning grows
+like ``kappa^k`` — in float32 it collapses around k≈4 on stiff operators
+and even float64 gives out near k≈8-10 (measured, RESULTS.md row 4).  The
+principled fix from the CA-Krylov literature (Hoemmen 2010 "Communication-
+avoiding Krylov subspace methods"; Carson 2015 thesis) is to span the same
+Krylov space with a better-conditioned polynomial basis and carry the CG
+scalars through the basis Gram matrix instead of bespoke recurrences:
+
+- **Basis**: shifted-scaled Chebyshev polynomials ``rho_j`` on a spectral
+  interval ``[lmin, lmax]`` (3-term recurrence; |rho_j| <= 1 on the
+  interval, so basis conditioning grows polynomially, not like kappa^k).
+  Chains ``P = [rho_0(A)p .. rho_s(A)p]`` (s+1 vectors) and
+  ``R = [rho_0(A)r .. rho_{s-1}(A)r]`` — 2s-1 SpMVs per outer iteration.
+- **Change-of-basis matrix T** ((2s+1)^2, static): ``A V e_j = V T e_j``
+  for every basis column the inner loop touches, straight from the 3-term
+  recurrence.  Applying A to any iterate becomes a tiny matrix-vector
+  product in coefficient space.
+- **One Gram** ``G = V V^T`` per outer iteration — a single MXU matmul
+  and, distributed, ONE psum per s CG steps (the same communication
+  schedule as the k-skip family, reference analog:
+  v3/cpu/mpi/kskipcg.py bundles).
+- **Inner s steps** run entirely on (2s+1)-long coefficient vectors:
+  ``alpha = <r,r>_G / <p, T p>_G``, updates on x̂/r̂/p̂ — scalar-dtype
+  dataflow, no vector work at all.
+- **Recovery**: ``x += x̂ V``, ``p = p̂ V`` — two tall-skinny MXU matmuls;
+  the residual is recomputed as ``b - A x`` each outer iteration
+  (residual replacement, Carson §5: keeps the true and recurred residuals
+  coupled in working precision at a cost of 1/(2s-1) extra SpMVs).
+
+Spectral bounds: an overestimate of ``[lmin, lmax]`` only degrades basis
+conditioning gracefully; :func:`krylov_tpu.precond.lanczos_bounds`
+supplies tight ones (the same machinery the Chebyshev preconditioner
+uses).
+
+Measured effect (tests/test_cacg.py): float32 at s=8 on the kappa~1e5
+graded-spectrum system converges where monomial k-skip CG records NaN —
+and in float64 it tracks plain CG's iteration count.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from krylov_tpu.context import Context, DEFAULT_CONTEXT
+from krylov_tpu.solvers._common import (
+    SolveResult,
+    safe_div,
+    scalar_dtype_of,
+    tree_select,
+)
+
+
+def _chebyshev_T(s: int, lmin: float, lmax: float) -> np.ndarray:
+    """Change-of-basis matrix for the shifted-scaled Chebyshev chains.
+
+    Basis layout: P block = columns 0..s, R block = columns s+1..2s.
+    ``T[:, j]`` holds the coefficients of ``A @ V[:, j]`` in the basis —
+    defined for every column the inner loop applies A to (P_0..P_{s-1},
+    R_0..R_{s-2}); the chain-tip columns are never touched and stay zero.
+
+    From ``rho_0 = 1``, ``rho_1(z) = (z - d)/c``,
+    ``rho_{j+1}(z) = 2 (z - d)/c rho_j(z) - rho_{j-1}(z)`` with
+    ``d = (lmax+lmin)/2``, ``c = (lmax-lmin)/2``:
+
+        A rho_0 = c rho_1 + d rho_0
+        A rho_j = (c/2) rho_{j+1} + d rho_j + (c/2) rho_{j-1}   (j >= 1)
+    """
+    d = 0.5 * (lmax + lmin)
+    c = 0.5 * (lmax - lmin)
+    m = 2 * s + 1
+    T = np.zeros((m, m), dtype=np.float64)
+    for off, cols in ((0, s), (s + 1, s - 1)):  # (block offset, #A-applied)
+        if cols <= 0:
+            continue
+        T[off + 0, off + 0] = d
+        T[off + 1, off + 0] = c
+        for j in range(1, cols):
+            T[off + j - 1, off + j] = 0.5 * c
+            T[off + j, off + j] = d
+            T[off + j + 1, off + j] = 0.5 * c
+    return T
+
+
+def _monomial_T(s: int) -> np.ndarray:
+    """Change-of-basis matrix for the raw monomial chains (A V_j = V_{j+1})
+    — the reference's basis, kept for ablation/parity experiments."""
+    m = 2 * s + 1
+    T = np.zeros((m, m), dtype=np.float64)
+    for off, cols in ((0, s), (s + 1, s - 1)):
+        for j in range(cols):
+            T[off + j + 1, off + j] = 1.0
+    return T
+
+
+def cacg_kernel(
+    A,
+    b,
+    x0,
+    *,
+    tol: float = 1e-5,
+    maxiter: int,
+    s: int = 4,
+    lmin: float = 0.0,
+    lmax: float = 0.0,
+    basis: str = "chebyshev",
+    ctx: Context = DEFAULT_CONTEXT,
+    carry_in=None,
+    emit_carry: bool = False,
+) -> SolveResult:
+    """``carry_in=((x, r, p), valid)`` resumes exactly from a previous
+    chunk's ``result.carry`` (the outer iteration is fully determined by
+    these three vectors); ``emit_carry=True`` returns them.
+
+    ``lmin``/``lmax`` bound the spectrum for the Chebyshev basis (the
+    public API fills them with Lanczos estimates); ``basis="monomial"``
+    ignores them.
+    """
+    if s < 1:
+        raise ValueError(f"s must be >= 1, got {s}")
+    if basis == "chebyshev":
+        if not (lmax > lmin >= 0.0):
+            raise ValueError(
+                f"chebyshev basis needs spectral bounds lmax > lmin >= 0, "
+                f"got [{lmin}, {lmax}]"
+            )
+        T_np = _chebyshev_T(s, lmin, lmax)
+        d = 0.5 * (lmax + lmin)
+        c = 0.5 * (lmax - lmin)
+    elif basis == "monomial":
+        T_np = _monomial_T(s)
+        d = c = 0.0
+    else:
+        raise ValueError(f"unknown basis {basis!r}")
+
+    sdt = scalar_dtype_of(ctx, b)
+    vdt = b.dtype
+    b_norm = ctx.norm(b)
+    m = 2 * s + 1
+    o = s + 1  # R-block offset
+    T = jnp.asarray(T_np, dtype=sdt)
+
+    r0 = b - ctx.matvec(A, x0)
+    p0 = r0
+    if carry_in is not None:
+        (xc, rc, pc), valid = carry_in
+        x0, r0, p0 = tree_select(valid, (xc, rc, pc), (x0, r0, p0))
+
+    max_outer = -(-maxiter // s)  # ceil
+    res_trace = jnp.zeros(max_outer + 1, dtype=sdt)
+    nosl_trace = jnp.zeros(max_outer + 1, dtype=jnp.int32)
+
+    carry0 = (
+        x0,
+        r0,
+        p0,
+        jnp.zeros((), jnp.int32),  # i (solution updates)
+        jnp.zeros((), jnp.int32),  # index (outer iterations)
+        jnp.zeros((), bool),
+        res_trace,
+        nosl_trace,
+    )
+
+    def cond(cst):
+        _x, _r, _p, i, _index, converged, _rt, _nt = cst
+        return jnp.logical_and(~converged, i < maxiter)
+
+    def _chain(v0, length):
+        """[rho_0(A)v .. rho_{length-1}(A)v] via the 3-term recurrence."""
+        chain = [v0]
+        if length >= 2:
+            if basis == "chebyshev":
+                chain.append(((ctx.matvec(A, v0) - d * v0) / c).astype(vdt))
+            else:
+                chain.append(ctx.matvec(A, v0))
+        for _ in range(length - 2):
+            if basis == "chebyshev":
+                nxt = (
+                    (2.0 / c) * (ctx.matvec(A, chain[-1]) - d * chain[-1])
+                    - chain[-2]
+                )
+            else:
+                nxt = ctx.matvec(A, chain[-1])
+            chain.append(nxt.astype(vdt))
+        return chain
+
+    def body(cst):
+        x, r, p, i, index, _, rtrace, ntrace = cst
+
+        V = jnp.stack(_chain(p, s + 1) + _chain(r, s))  # (m, n_local)
+        G = ctx.gram(V)  # (m, m) in sdt, ONE psum
+
+        res = jnp.sqrt(G[o, o]) / b_norm
+        rtrace = rtrace.at[index].set(res)
+        conv = res < tol
+
+        # s CG steps on (m,)-coefficient vectors (scalar-dtype dataflow).
+        p_hat = jnp.zeros(m, sdt).at[0].set(1.0)
+        r_hat = jnp.zeros(m, sdt).at[o].set(1.0)
+        x_hat = jnp.zeros(m, sdt)
+        rGr = G[o, o]
+        for _ in range(s):
+            w = T @ p_hat
+            alpha = safe_div(rGr, p_hat @ (G @ w))
+            x_hat = x_hat + alpha * p_hat
+            r_hat = r_hat - alpha * w
+            rGr_new = r_hat @ (G @ r_hat)
+            beta = safe_div(rGr_new, rGr)
+            p_hat = r_hat + beta * p_hat
+            rGr = rGr_new
+
+        # Recovery: two tall-skinny combinations + residual replacement.
+        x_n = x + (x_hat.astype(vdt) @ V)
+        p_n = (p_hat.astype(vdt) @ V)
+        r_n = b - ctx.matvec(A, x_n)
+
+        x, r, p = tree_select(conv, (x, r, p), (x_n, r_n, p_n))
+        i = jnp.where(conv, i, i + s)
+        index = jnp.where(conv, index, index + 1)
+        ntrace = jnp.where(conv, ntrace, ntrace.at[index].set(i))
+        return (x, r, p, i, index, conv, rtrace, ntrace)
+
+    x, r, p, i, index, converged, rtrace, ntrace = lax.while_loop(
+        cond, body, carry0
+    )
+
+    final_res = ctx.norm(r) / b_norm
+    rtrace = jnp.where(converged, rtrace, rtrace.at[index].set(final_res))
+
+    return SolveResult(
+        x=x,
+        residual_trace=rtrace,
+        nosl_trace=ntrace,
+        iterations=i,
+        index=index,
+        converged=converged,
+        carry=(x, r, p) if emit_carry else None,
+    )
