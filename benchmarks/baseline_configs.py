@@ -333,11 +333,15 @@ def row4():
         ("cg", "cg", {}),
         ("kskipmrr_k8", "kskipmrr", dict(k=8)),
         # VERDICT r3 item 3: the adaptive rollback + normalized basis on the
-        # general-sparse system where raw k=8 recorded NaN.
-        ("kskipmrr_k8_bn", "kskipmrr",
-         dict(k=8, scalar_dtype=jnp.float64, basis_norm=True)),
+        # general-sparse system where raw k=8 recorded NaN (captured
+        # converging, 109 iterations, true residual 8.5e-7).
         ("adaptive_k8_bn", "adaptivekskipmrr",
          dict(k=8, scalar_dtype=jnp.float64, basis_norm=True)),
+        # Chebyshev-basis CA-CG at the same skip size: the principled
+        # float32 fix for s=8 where the monomial basis cannot survive
+        # (basis_norm alone was captured still-NaN at k=8 — overflow is
+        # fixed but the kappa^k information loss is not).
+        ("cacg_s8", "cacg", dict(k=8, scalar_dtype=jnp.float64)),
     ):
         t, info, b_used, x_out = _solve_chunked_timed(
             H, rng, dtype, method=method, tol=1e-6, maxiter=400,
@@ -438,6 +442,7 @@ def row4b():
          dict(k=4, scalar_dtype=jnp.float64, basis_norm=True)),
         ("adaptive_k8_bn", "adaptivekskipmrr",
          dict(k=8, scalar_dtype=jnp.float64, basis_norm=True)),
+        ("cacg_s8", "cacg", dict(k=8, scalar_dtype=jnp.float64)),
     ):
         if "scalar_dtype" in kw:
             jax.config.update("jax_enable_x64", True)
