@@ -57,9 +57,10 @@ def _get_kernel(method: str):
     except ImportError:  # pragma: no cover
         pass
     try:
-        from krylov_tpu.solvers.cacg import cacg_kernel
+        from krylov_tpu.solvers.cacg import cacg_kernel, camrr_kernel
 
         table["cacg"] = cacg_kernel
+        table["camrr"] = camrr_kernel
     except ImportError:  # pragma: no cover
         pass
     try:
@@ -88,6 +89,7 @@ _METHOD_NAMES = {
     "kskipmrr": "k-skip MrR",
     "adaptivekskipmrr": "Adaptive k-skip MrR",
     "cacg": "CA-CG (Chebyshev basis)",
+    "camrr": "CA-MrR (Chebyshev basis)",
     "pcg": "Preconditioned CG",
     "chronopoulos_gear": "chronopoulos gear",
     "gropp": "gropp",
@@ -95,13 +97,14 @@ _METHOD_NAMES = {
 }
 
 _KSKIP_METHODS = {"kskipcg", "kskipmrr", "adaptivekskipmrr"}
-# CA-CG: takes the skip size via ``k`` (as s) plus static spectral bounds.
-_CACG_METHODS = {"cacg"}
+# Chebyshev-basis CA methods: skip size via ``k`` (as s) + static spectral
+# bounds.
+_CACG_METHODS = {"cacg", "camrr"}
 _PRECONDITIONED_METHODS = {"pcg", "chronopoulos_gear", "gropp", "pipelined_cg"}
 # Methods whose kernels can thread their full recurrence state across
 # chunked dispatches (carry_in/emit_carry) — chunk_iters is EXACT for these.
 _CARRY_METHODS = {
-    "cg", "mrr", "kskipcg", "kskipmrr", "adaptivekskipmrr", "cacg",
+    "cg", "mrr", "kskipcg", "kskipmrr", "adaptivekskipmrr", "cacg", "camrr",
 }
 
 
@@ -363,6 +366,13 @@ def _resolve_bounds(A, method, spectral_bounds):
         return (float(lo), float(hi))
     from krylov_tpu.precond import lanczos_bounds
 
+    # Plain Lanczos bounds, no extra widening: measured on the kappa~1e5
+    # graded-spectrum system, the raw 16-step Ritz interval converges in
+    # 408 iterations even though its lmin sits 400x above the true lmin
+    # (the handful of eigenvalues below the interval cost only a mild
+    # Chebyshev growth factor), while widening lmin by 4x DIVERGED the
+    # same solve.  Bound quality is empirical; prefer the measured
+    # configuration and let callers override via spectral_bounds=.
     return tuple(lanczos_bounds(A))
 
 
@@ -519,6 +529,7 @@ def _solve_chunked(
             "mrr": (z, z, z, z),  # (x, r, y, z)
             "kskipcg": (z, z, z),  # (x, r, p)
             "cacg": (z, z, z),  # (x, r, p)
+            "camrr": (z, z, z, z),  # (x, r, y, z)
             "kskipmrr": (z, z, z, z, z),  # (x, r, y, z, Ar1)
             # (x, r, y, z, Ar1, pre_x, pre_res, k_cur)
             "adaptivekskipmrr": (

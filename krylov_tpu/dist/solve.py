@@ -28,7 +28,7 @@ from krylov_tpu.sparse.convert import pad_to_multiple
 from krylov_tpu.dist.spmv import shard_operator
 
 _KSKIP_METHODS = {"kskipcg", "kskipmrr", "adaptivekskipmrr"}
-_CACG_METHODS = {"cacg"}
+_CACG_METHODS = {"cacg", "camrr"}
 _PRECONDITIONED_METHODS = {"pcg", "chronopoulos_gear", "gropp", "pipelined_cg"}
 
 _CACHE: dict = {}

@@ -182,7 +182,9 @@ def _kskipmrr_fused_kernel(
         if adaptive:
             # --- residual guard: rollback + k decrement (reference:
             # v3/cpu/adaptivekskipmrr.py:44-66) ---
-            rose = res > pre_res
+            # non-finite => rollback (NaN compares False; see
+            # solvers/adaptive_kskip_mrr.py rollback predicate)
+            rose = jnp.logical_or(res > pre_res, ~jnp.isfinite(res))
 
             @pl.when(rose)
             def _():

@@ -4,7 +4,7 @@ from krylov_tpu.solvers.mrr import mrr_kernel
 from krylov_tpu.solvers.kskip_cg import kskipcg_kernel
 from krylov_tpu.solvers.kskip_mrr import kskipmrr_kernel
 from krylov_tpu.solvers.adaptive_kskip_mrr import adaptivekskipmrr_kernel
-from krylov_tpu.solvers.cacg import cacg_kernel
+from krylov_tpu.solvers.cacg import cacg_kernel, camrr_kernel
 from krylov_tpu.solvers.pipelined import (
     chronopoulos_gear_kernel,
     gropp_kernel,
@@ -20,6 +20,7 @@ __all__ = [
     "kskipmrr_kernel",
     "adaptivekskipmrr_kernel",
     "cacg_kernel",
+    "camrr_kernel",
     "pcg_kernel",
     "chronopoulos_gear_kernel",
     "gropp_kernel",

@@ -162,7 +162,13 @@ def adaptivekskipmrr_kernel(
     def body(c):
         res = ctx.norm(c["r"]) / b_norm
         rtrace = c["rtrace"].at[c["index"]].set(res)
-        rose = res > c["pre_res"]
+        # Non-finite counts as "rose": the reference's ``residual >
+        # pre_residual`` comparison is False for NaN, so a blow-up INSIDE a
+        # k-skip outer step would be silently ACCEPTED and the solve stuck
+        # at NaN forever (observed on the 1M-row kappa~1e6 capture).  On
+        # finite values this is exactly the reference predicate
+        # (reference: v3/cpu/adaptivekskipmrr.py:44).
+        rose = jnp.logical_or(res > c["pre_res"], ~jnp.isfinite(res))
 
         def rollback(op):
             x_o, r_o, y_o, z_o, Ar1_o = _mrr_init_like_step(c["pre_x"], None)

@@ -56,13 +56,14 @@ from krylov_tpu.solvers._common import (
 )
 
 
-def _chebyshev_T(s: int, lmin: float, lmax: float) -> np.ndarray:
-    """Change-of-basis matrix for the shifted-scaled Chebyshev chains.
+def _chebyshev_T(m: int, blocks, lmin: float, lmax: float) -> np.ndarray:
+    """Change-of-basis matrix for shifted-scaled Chebyshev chains.
 
-    Basis layout: P block = columns 0..s, R block = columns s+1..2s.
-    ``T[:, j]`` holds the coefficients of ``A @ V[:, j]`` in the basis —
-    defined for every column the inner loop applies A to (P_0..P_{s-1},
-    R_0..R_{s-2}); the chain-tip columns are never touched and stay zero.
+    ``blocks`` lists ``(offset, n_applied)`` per chain: the chain's columns
+    start at ``offset`` and A is applied to its first ``n_applied`` columns
+    (chain tips — and any extra non-chain columns like CA-MrR's ``z`` — are
+    never touched and stay zero).  ``T[:, j]`` holds the coefficients of
+    ``A @ V[:, j]`` in the basis.
 
     From ``rho_0 = 1``, ``rho_1(z) = (z - d)/c``,
     ``rho_{j+1}(z) = 2 (z - d)/c rho_j(z) - rho_{j-1}(z)`` with
@@ -73,9 +74,8 @@ def _chebyshev_T(s: int, lmin: float, lmax: float) -> np.ndarray:
     """
     d = 0.5 * (lmax + lmin)
     c = 0.5 * (lmax - lmin)
-    m = 2 * s + 1
     T = np.zeros((m, m), dtype=np.float64)
-    for off, cols in ((0, s), (s + 1, s - 1)):  # (block offset, #A-applied)
+    for off, cols in blocks:
         if cols <= 0:
             continue
         T[off + 0, off + 0] = d
@@ -87,12 +87,11 @@ def _chebyshev_T(s: int, lmin: float, lmax: float) -> np.ndarray:
     return T
 
 
-def _monomial_T(s: int) -> np.ndarray:
+def _monomial_T(m: int, blocks) -> np.ndarray:
     """Change-of-basis matrix for the raw monomial chains (A V_j = V_{j+1})
     — the reference's basis, kept for ablation/parity experiments."""
-    m = 2 * s + 1
     T = np.zeros((m, m), dtype=np.float64)
-    for off, cols in ((0, s), (s + 1, s - 1)):
+    for off, cols in blocks:
         for j in range(cols):
             T[off + j + 1, off + j] = 1.0
     return T
@@ -123,17 +122,18 @@ def cacg_kernel(
     """
     if s < 1:
         raise ValueError(f"s must be >= 1, got {s}")
+    blocks = ((0, s), (s + 1, s - 1))  # P chain (s+1 cols), R chain (s cols)
     if basis == "chebyshev":
         if not (lmax > lmin >= 0.0):
             raise ValueError(
                 f"chebyshev basis needs spectral bounds lmax > lmin >= 0, "
                 f"got [{lmin}, {lmax}]"
             )
-        T_np = _chebyshev_T(s, lmin, lmax)
+        T_np = _chebyshev_T(2 * s + 1, blocks, lmin, lmax)
         d = 0.5 * (lmax + lmin)
         c = 0.5 * (lmax - lmin)
     elif basis == "monomial":
-        T_np = _monomial_T(s)
+        T_np = _monomial_T(2 * s + 1, blocks)
         d = c = 0.0
     else:
         raise ValueError(f"unknown basis {basis!r}")
@@ -240,4 +240,182 @@ def cacg_kernel(
         index=index,
         converged=converged,
         carry=(x, r, p) if emit_carry else None,
+    )
+
+
+def camrr_kernel(
+    A,
+    b,
+    x0,
+    *,
+    tol: float = 1e-5,
+    maxiter: int,
+    s: int = 4,
+    lmin: float = 0.0,
+    lmax: float = 0.0,
+    basis: str = "chebyshev",
+    ctx: Context = DEFAULT_CONTEXT,
+    carry_in=None,
+    emit_carry: bool = False,
+) -> SolveResult:
+    """Communication-avoiding MrR with a Chebyshev s-step basis.
+
+    The reference's flagship family is MrR (reference: v3/cpu/mrr.py:7-61,
+    k-skip form v3/cpu/kskipmrr.py:8-108); this is its float32-stable
+    communication-avoiding form, built the same way as :func:`cacg_kernel`:
+    Chebyshev chains from the current ``r`` AND ``y`` (s+1 columns each,
+    2s SpMVs per outer), plus the auxiliary ``z`` carried as one extra
+    basis column that A is never applied to — MrR's solution update is
+    ``x -= z`` so ``z`` only needs to live in the recovery span.  One Gram
+    (single psum) serves s MrR steps run entirely on (2s+3)-long
+    coefficient vectors:
+
+        Ar      = T r̂
+        gamma   = <y, Ar>_G / <y, y>_G
+        s_vec   = Ar - gamma y          (reference: v3/cpu/mrr.py:38-41)
+        zeta    = <r, s_vec>_G / <s_vec, s_vec>_G
+        eta     = -zeta gamma
+        ŷ <- eta ŷ + zeta Ar;  ẑ <- eta ẑ - zeta r̂;  r̂ <- r̂ - ŷ
+
+    Recovery combines x/y/z from the basis and recomputes ``r = b - A x``
+    (residual replacement).  ``carry_in=((x, r, y, z), valid)`` resumes
+    exactly; ``emit_carry=True`` returns that state.
+    """
+    if s < 1:
+        raise ValueError(f"s must be >= 1, got {s}")
+    m = 2 * s + 3  # r-chain (s+1) + y-chain (s+1) + z column
+    o = s + 1  # y-chain offset
+    oz = 2 * s + 2  # z column
+    blocks = ((0, s), (o, s))
+    if basis == "chebyshev":
+        if not (lmax > lmin >= 0.0):
+            raise ValueError(
+                f"chebyshev basis needs spectral bounds lmax > lmin >= 0, "
+                f"got [{lmin}, {lmax}]"
+            )
+        T_np = _chebyshev_T(m, blocks, lmin, lmax)
+        d = 0.5 * (lmax + lmin)
+        c = 0.5 * (lmax - lmin)
+    elif basis == "monomial":
+        T_np = _monomial_T(m, blocks)
+        d = c = 0.0
+    else:
+        raise ValueError(f"unknown basis {basis!r}")
+
+    sdt = scalar_dtype_of(ctx, b)
+    vdt = b.dtype
+    b_norm = ctx.norm(b)
+    T = jnp.asarray(T_np, dtype=sdt)
+
+    # MrR init half-iteration (reference: v3/cpu/mrr.py:20-31).
+    r = b - ctx.matvec(A, x0)
+    Ar1 = ctx.matvec(A, r)
+    rAr, ArAr = ctx.dot_bundle([(r, Ar1), (Ar1, Ar1)])
+    zeta0 = safe_div(rAr, ArAr)
+    y0 = (zeta0 * Ar1).astype(vdt)
+    z0 = (-zeta0 * r).astype(vdt)
+    r0 = r - y0
+    x_init = x0 - z0
+
+    i0 = jnp.ones((), jnp.int32)
+    index0 = jnp.ones((), jnp.int32)
+    x_c, r_c, y_c, z_c = x_init, r0, y0, z0
+    if carry_in is not None:
+        (xc, rc, yc, zc), valid = carry_in
+        x_c, r_c, y_c, z_c = tree_select(
+            valid, (xc, rc, yc, zc), (x_c, r_c, y_c, z_c)
+        )
+        i0 = jnp.where(valid, 0, i0).astype(jnp.int32)
+        index0 = jnp.where(valid, 0, index0).astype(jnp.int32)
+
+    max_outer = 1 + (-(-maxiter // s))
+    res_trace = jnp.zeros(max_outer + 1, dtype=sdt)
+    nosl_trace = jnp.zeros(max_outer + 1, dtype=jnp.int32)
+    res_trace = res_trace.at[0].set(ctx.norm(b - ctx.matvec(A, x0)) / b_norm)
+    nosl_trace = nosl_trace.at[1].set(1)
+
+    carry0 = (
+        x_c, r_c, y_c, z_c,
+        i0, index0,
+        jnp.zeros((), bool),
+        res_trace, nosl_trace,
+    )
+
+    def cond(cst):
+        i, converged = cst[4], cst[6]
+        return jnp.logical_and(~converged, i < maxiter)
+
+    def _chain(v0, length):
+        chain = [v0]
+        if length >= 2:
+            if basis == "chebyshev":
+                chain.append(((ctx.matvec(A, v0) - d * v0) / c).astype(vdt))
+            else:
+                chain.append(ctx.matvec(A, v0))
+        for _ in range(length - 2):
+            if basis == "chebyshev":
+                nxt = (
+                    (2.0 / c) * (ctx.matvec(A, chain[-1]) - d * chain[-1])
+                    - chain[-2]
+                )
+            else:
+                nxt = ctx.matvec(A, chain[-1])
+            chain.append(nxt.astype(vdt))
+        return chain
+
+    def body(cst):
+        x, r, y, z, i, index, _, rtrace, ntrace = cst
+
+        V = jnp.stack(_chain(r, s + 1) + _chain(y, s + 1) + [z])
+        G = ctx.gram(V)  # ONE psum per s MrR steps
+
+        res = jnp.sqrt(G[0, 0]) / b_norm
+        rtrace = rtrace.at[index].set(res)
+        conv = res < tol
+
+        r_hat = jnp.zeros(m, sdt).at[0].set(1.0)
+        y_hat = jnp.zeros(m, sdt).at[o].set(1.0)
+        z_hat = jnp.zeros(m, sdt).at[oz].set(1.0)
+        x_hat = jnp.zeros(m, sdt)
+        for _ in range(s):
+            Ar_hat = T @ r_hat
+            Gy = G @ y_hat
+            gamma = safe_div(Ar_hat @ Gy, y_hat @ Gy)
+            s_hat = Ar_hat - gamma * y_hat
+            Gs = G @ s_hat
+            zeta = safe_div(r_hat @ Gs, s_hat @ Gs)
+            eta = -zeta * gamma
+            y_hat = eta * y_hat + zeta * Ar_hat
+            z_hat = eta * z_hat - zeta * r_hat
+            r_hat = r_hat - y_hat
+            x_hat = x_hat - z_hat
+
+        x_n = x + (x_hat.astype(vdt) @ V)
+        y_n = (y_hat.astype(vdt) @ V)
+        z_n = (z_hat.astype(vdt) @ V)
+        r_n = b - ctx.matvec(A, x_n)  # residual replacement
+
+        x, r, y, z = tree_select(
+            conv, (x, r, y, z), (x_n, r_n, y_n, z_n)
+        )
+        i = jnp.where(conv, i, i + s)
+        index = jnp.where(conv, index, index + 1)
+        ntrace = jnp.where(conv, ntrace, ntrace.at[index].set(i))
+        return (x, r, y, z, i, index, conv, rtrace, ntrace)
+
+    x, r, y, z, i, index, converged, rtrace, ntrace = lax.while_loop(
+        cond, body, carry0
+    )
+
+    final_res = ctx.norm(r) / b_norm
+    rtrace = jnp.where(converged, rtrace, rtrace.at[index].set(final_res))
+
+    return SolveResult(
+        x=x,
+        residual_trace=rtrace,
+        nosl_trace=ntrace,
+        iterations=i,
+        index=index,
+        converged=converged,
+        carry=(x, r, y, z) if emit_carry else None,
     )

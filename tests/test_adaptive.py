@@ -105,3 +105,34 @@ def test_adaptive_k1_stays():
     )
     assert info["converged"]
     assert info["final_k"] == 1
+
+
+def test_adaptive_rolls_back_from_nonfinite_blowup():
+    """A k-skip outer step that blows up to inf/NaN WITHIN the step must
+    trigger the rollback, not be silently accepted: the reference's
+    ``residual > pre_residual`` guard is False for NaN, which left the
+    round-3 1M-row capture stuck at NaN for 64 iterations (reference
+    defect class; predicate extended here with an isfinite check).
+
+    An extreme graded diagonal (12 decades) overflows the float32 monomial
+    basis at k=8 inside the very first outer step; the fixed rollback
+    restores the last finite iterate, lowers k, and converges.
+    """
+    import jax.numpy as jnp
+
+    n = 256
+    rng = np.random.default_rng(5)
+    scale = 10.0 ** np.linspace(0, 12, n)
+    A_sp = __import__("scipy.sparse", fromlist=["diags"]).diags(scale).tocsr()
+    from krylov_tpu.sparse import as_operator
+
+    A = as_operator(A_sp.astype(np.float32))
+    b = (scale * rng.standard_normal(n)).astype(np.float32)
+    x, info = krylov_tpu.solve(
+        A, b, method="adaptivekskipmrr", k=8, tol=1e-4, maxiter=3000,
+        scalar_dtype=jnp.float64,
+    )
+    assert np.isfinite(np.asarray(x)).all()
+    assert info["converged"]
+    # the rollback must actually have fired (k adapted below the initial 8)
+    assert info["final_k"] < 8

@@ -143,3 +143,47 @@ def test_bad_bounds_raise():
             jax.tree.map(jnp.asarray, A), b, jnp.zeros_like(b),
             tol=1e-6, maxiter=10, s=2, lmin=5.0, lmax=1.0,
         )
+
+
+@pytest.mark.parametrize("s", [1, 2, 4, 8])
+def test_camrr_f64_tracks_plain_mrr(s, rng):
+    A = laplace2d(48, dtype=np.float64)
+    b = rng.standard_normal(48 * 48)
+    _, imrr = krylov_tpu.solve(A, b, method="mrr", tol=1e-8, maxiter=4000)
+    _, icam = krylov_tpu.solve(
+        A, b, method="camrr", k=s, tol=1e-8, maxiter=4000
+    )
+    assert icam["converged"]
+    assert abs(icam["iterations"] - imrr["iterations"]) <= s + 1
+
+
+@pytest.mark.parametrize("s", [4, 8])
+def test_camrr_f32_converges_where_kskipmrr_dies(s, rng):
+    """CA-MrR at s=8 on the row-4b class — the reference's flagship family
+    (v3/cpu/kskipmrr.py) in its float32-stable communication-avoiding form
+    (monomial kskipmrr records NaN here at k>=4)."""
+    A64, Ao = _hard()
+    b = rng.standard_normal(A64.shape[0]).astype(np.float32)
+    x, info = krylov_tpu.solve(
+        Ao, b, method="camrr", k=s, tol=1e-4, maxiter=6000,
+        scalar_dtype=jnp.float64,
+    )
+    assert info["converged"]
+    assert np.isfinite(info["residual"]).all()
+    assert _true_res(A64, b, x) < 5e-4
+
+
+def test_camrr_chunked_and_mesh_agree(rng):
+    from jax.sharding import Mesh
+
+    A = laplace2d(32, dtype=np.float64)
+    b = rng.standard_normal(1024)
+    _, i1 = krylov_tpu.solve(A, b, method="camrr", k=4, tol=1e-8, maxiter=2000)
+    _, i2 = krylov_tpu.solve(
+        A, b, method="camrr", k=4, tol=1e-8, maxiter=2000, chunk_iters=40
+    )
+    mesh = Mesh(np.array(jax.devices()[:4]), ("rows",))
+    _, im = krylov_tpu.solve(
+        A, b, method="camrr", k=4, tol=1e-8, maxiter=2000, mesh=mesh
+    )
+    assert i1["iterations"] == i2["iterations"] == im["iterations"]
