@@ -68,3 +68,29 @@ def test_batched_mixed_convergence_points():
     for i in range(3):
         r = np.linalg.norm(B[i] - A.todense() @ np.asarray(res.x[i]))
         assert r / max(np.linalg.norm(B[i]), 1e-30) < 1e-7
+
+
+def test_batched_cacg_matches_singles():
+    """The Chebyshev-basis method composes with the batched (vmapped)
+    dispatch — the static change-of-basis matrix and spectral bounds are
+    shared across the batch."""
+    import krylov_tpu
+    from krylov_tpu.sparse.fixtures import laplace2d
+
+    A = laplace2d(16, dtype=np.float64)
+    rng = np.random.default_rng(3)
+    B = rng.standard_normal((3, 256))
+    res = solve_batched(
+        A, B, method="cacg", k=4, spectral_bounds=(0.05, 8.0),
+        tol=1e-8, maxiter=500,
+    )
+    assert np.all(np.asarray(res.converged))
+    for i in range(3):
+        x_i, info_i = krylov_tpu.solve(
+            A, B[i], method="cacg", k=4, spectral_bounds=(0.05, 8.0),
+            tol=1e-8, maxiter=500,
+        )
+        assert int(np.asarray(res.iterations)[i]) == info_i["iterations"]
+        np.testing.assert_allclose(
+            np.asarray(res.x[i]), x_i, rtol=1e-8, atol=1e-12
+        )
