@@ -48,15 +48,20 @@ def gather_rows(x: jax.Array, idx: jax.Array) -> jax.Array:
     """``x[idx]`` for 1-D ``x`` and integer ``idx`` of any shape — the
     irregular-SpMV gather primitive.
 
-    On TPU, XLA lowers an element gather to ~7.2 ns per gathered ELEMENT
+    On TPU, XLA lowers an element gather to a few ns per gathered ELEMENT
     (serialized addressing; measured on v5e, benchmarks/gather_probe.py),
     while gathers of contiguous W-wide slices cost ~the same per SLICE.
     So instead of gathering scalars, gather the W-aligned slice CONTAINING
-    each element and select in-lane with an iota compare (pure VPU work that
-    XLA fuses into the consumer): measured 2.6x over the element gather at
-    W=16.  ``jnp.take_along_axis`` for the select is 5x SLOWER than the
-    element gather (it lowers to another elementwise gather) — hence the
-    one-hot multiply-sum.
+    each element and select in-lane with an iota compare (pure VPU work
+    that XLA fuses into the consumer).  Measured effect varies by
+    round/toolchain: round 3 saw 2.6x on the isolated ELL gather; the
+    round-4 re-measurement (benchmarks/gather_probe_r4.py, fetch-verified)
+    shows throughput parity with the element gather (~0.32 Gelem/s at
+    (1M, 16)) — the ROBUST win is compile time: the 1M-row irregular
+    while_loop program drops from ~250 s to ~2 s of remote compile.
+    ``jnp.take_along_axis`` for the select is 5x SLOWER than the element
+    gather (it lowers to another elementwise gather) — hence the select
+    formulation.
 
     On CPU the native element gather is already fast (and the W-wide form
     does W times the arithmetic), so the plain form is kept there.  The
