@@ -342,6 +342,7 @@ def row4():
         # (basis_norm alone was captured still-NaN at k=8 — overflow is
         # fixed but the kappa^k information loss is not).
         ("cacg_s8", "cacg", dict(k=8, scalar_dtype=jnp.float64)),
+        ("camrr_s8", "camrr", dict(k=8, scalar_dtype=jnp.float64)),
     ):
         t, info, b_used, x_out = _solve_chunked_timed(
             H, rng, dtype, method=method, tol=1e-6, maxiter=400,
@@ -443,6 +444,7 @@ def row4b():
         ("adaptive_k8_bn", "adaptivekskipmrr",
          dict(k=8, scalar_dtype=jnp.float64, basis_norm=True)),
         ("cacg_s8", "cacg", dict(k=8, scalar_dtype=jnp.float64)),
+        ("camrr_s8", "camrr", dict(k=8, scalar_dtype=jnp.float64)),
     ):
         if "scalar_dtype" in kw:
             jax.config.update("jax_enable_x64", True)
