@@ -561,8 +561,14 @@ def _solve_chunked(
         if exact:
             carry = (dev_res.carry, jnp.ones((), bool))
             dev_res = dataclasses.replace(dev_res, carry=None)
-        result = jax.device_get(dev_res)
-        seg = build_info(result, dt)
+        # Per-chunk host fetch covers only the small leaves (traces +
+        # scalars) — the N-vector iterate stays ON DEVICE between chunks;
+        # round-tripping it through the host cost two N-vector transfers
+        # per chunk over a remote tunnel for nothing (build_info never
+        # reads x).  The full result is fetched once, after the last chunk.
+        seg = build_info(
+            jax.device_get(dataclasses.replace(dev_res, x=None)), dt
+        )
         chunks += 1
         if merged is None:
             merged = seg
@@ -585,13 +591,14 @@ def _solve_chunked(
             merged["iterations"] += seg["iterations"]
             merged["converged"] = seg["converged"]
         iters_done += seg["iterations"]
-        x_cur = jnp.asarray(result.x)
+        x_cur = dev_res.x
         if (
             seg["converged"]
             or iters_done >= maxiter
             or seg["iterations"] == 0  # no progress: diverged / stalled
             or not np.isfinite(seg["residual"][-1])
         ):
+            result = jax.device_get(dev_res)
             break
     merged["chunks"] = chunks
     return result, merged, compile_total
