@@ -505,7 +505,8 @@ def _solve_chunked(
     the full recurrence state is CARRIED across chunks
     (``emit_carry``/``carry_in`` on the kernels), so the iteration sequence
     is exactly the unbroken solve's — no restart penalty
-    (tests/test_restarts.py asserts exactness for all five).  The pipelined
+    (tests/test_restarts.py asserts exactness for cg/mrr/the k-skip family;
+    tests/test_cacg.py for cacg/camrr — all seven carry methods).  The pipelined
     family warm-restarts from the carried iterate.  Every chunk reuses ONE
     cached executable (same shapes/statics), so only the first pays
     compile.  Returns ``(last_result, merged_info, compile_seconds)``; the
@@ -528,8 +529,11 @@ def _solve_chunked(
             "cg": (z, z, z, jnp.zeros((), sdt)),  # (x, r, p, gamma)
             "mrr": (z, z, z, z),  # (x, r, y, z)
             "kskipcg": (z, z, z),  # (x, r, p)
-            "cacg": (z, z, z),  # (x, r, p)
-            "camrr": (z, z, z, z),  # (x, r, y, z)
+            # (x, r, p, x_best, res_best) — the trailing pair threads the
+            # divergence guard's best-iterate state across chunks
+            "cacg": (z, z, z, z, jnp.zeros((), sdt)),
+            # (x, r, y, z, x_best, res_best)
+            "camrr": (z, z, z, z, z, jnp.zeros((), sdt)),
             "kskipmrr": (z, z, z, z, z),  # (x, r, y, z, Ar1)
             # (x, r, y, z, Ar1, pre_x, pre_res, k_cur)
             "adaptivekskipmrr": (
@@ -845,25 +849,30 @@ def solve(
             # ask the correction solve for just enough: tol on the ORIGINAL
             # system means tol * b_norm / r_norm relative to the defect
             inner_tol = float(np.clip(tol * b_norm / r_norm, 1e-7, 0.1))
-            t1 = time.perf_counter()
-            result = jax.block_until_ready(
-                solve_device(
-                    A,
-                    r64.astype(A.dtype),
-                    method=method,
-                    x0=None,
-                    tol=inner_tol,
-                    maxiter=maxiter,
-                    k=k,
-                    M=M,
-                    mesh=mesh,
-                    scalar_dtype=scalar_dtype,
-                    fused=fused,
-                )
+            # The correction solve goes back through solve() itself (with
+            # refine=0) so it inherits EVERYTHING that made the primary
+            # solve converge: basis_norm, the already-resolved spectral
+            # bounds (no repeated Lanczos estimate), and chunk_iters'
+            # bounded dispatches (ADVICE r4: dropping these re-ran the raw
+            # monomial basis — which can NaN on exactly the systems where
+            # refine is needed — and re-estimated bounds per step).
+            d_corr, seg = solve(
+                A,
+                r64.astype(A.dtype),
+                method=method,
+                x0=None,
+                tol=inner_tol,
+                maxiter=maxiter,
+                k=k,
+                M=M,
+                mesh=mesh,
+                scalar_dtype=scalar_dtype,
+                fused=fused,
+                chunk_iters=chunk_iters,
+                basis_norm=basis_norm,
+                spectral_bounds=spectral_bounds,
             )
-            result = jax.device_get(result)
-            seg = build_info(result, time.perf_counter() - t1)
-            x64 = x64 + np.asarray(result.x, dtype=np.float64)
+            x64 = x64 + np.asarray(d_corr, dtype=np.float64)
             refinements += 1
             true_rel = float(
                 np.linalg.norm(b64 - host_matvec64(A_host, x64)) / b_norm

@@ -31,10 +31,16 @@ scalars through the basis Gram matrix instead of bespoke recurrences:
   (residual replacement, Carson §5: keeps the true and recurred residuals
   coupled in working precision at a cost of 1/(2s-1) extra SpMVs).
 
-Spectral bounds: an overestimate of ``[lmin, lmax]`` only degrades basis
-conditioning gracefully; :func:`krylov_tpu.precond.lanczos_bounds`
-supplies tight ones (the same machinery the Chebyshev preconditioner
-uses).
+Spectral bounds (measured guidance, see also ``api._resolve_bounds``):
+``lmax`` overestimates are benign (mild basis-conditioning loss), and an
+``lmin`` that sits ABOVE the true smallest eigenvalues is also fine (the
+few modes below the interval cost only a bounded Chebyshev growth factor
+— measured: an lmin 400x above true lmin still converged).  What
+destabilizes the method is WIDENING the interval downward: lowering lmin
+shrinks the recurrence scale ``c`` and measurably diverged the
+kappa~1e5 solve when widened 4x.  Do not "pad" bounds downward;
+:func:`krylov_tpu.precond.lanczos_bounds` supplies tight ones (the same
+machinery the Chebyshev preconditioner uses).
 
 Measured effect (tests/test_cacg.py): float32 at s=8 on the kappa~1e5
 graded-spectrum system converges where monomial k-skip CG records NaN —
@@ -54,6 +60,14 @@ from krylov_tpu.solvers._common import (
     scalar_dtype_of,
     tree_select,
 )
+
+
+# Outer-level divergence guard threshold: an outer iteration whose entry
+# residual exceeds this multiple of the best residual seen triggers a
+# rollback-restart (see cacg_kernel docstring).  Healthy CG/MrR residual
+# histories oscillate well under 10x; the post-floor instability grows by
+# orders of magnitude per outer (measured: 1.6e-7 -> 1.1e-5 -> 4.9e-3).
+_GUARD_GROWTH = 10.0
 
 
 def _chebyshev_T(m: int, blocks, lmin: float, lmax: float) -> np.ndarray:
@@ -112,13 +126,29 @@ def cacg_kernel(
     carry_in=None,
     emit_carry: bool = False,
 ) -> SolveResult:
-    """``carry_in=((x, r, p), valid)`` resumes exactly from a previous
-    chunk's ``result.carry`` (the outer iteration is fully determined by
-    these three vectors); ``emit_carry=True`` returns them.
+    """``carry_in=((x, r, p, x_best, res_best), valid)`` resumes exactly
+    from a previous chunk's ``result.carry`` (the outer iteration is fully
+    determined by these; ``x_best``/``res_best`` thread the divergence
+    guard's state); ``emit_carry=True`` returns them.
 
     ``lmin``/``lmax`` bound the spectrum for the Chebyshev basis (the
     public API fills them with Lanczos estimates); ``basis="monomial"``
     ignores them.
+
+    **Divergence guard** (round 5): s-step CG is unstable once the
+    residual reaches the working-precision floor — measured on BOTH
+    backends: a forced continuation past convergence blows up within two
+    outer iterations (CPU: 1.6e-7 -> 1.1e-5 -> 4.9e-3 at n=16k, s=8), and
+    on the TPU backend the attainable floor sits just above a tol the CPU
+    run clears, so the un-guarded kernel sailed past its best iterate into
+    that instability (captured round 4: residual 41.3 on row 4).  The body
+    therefore tracks the best iterate seen and, when an outer iteration
+    regresses by more than ``_GUARD_GROWTH``x (or goes non-finite), rolls
+    back to ``x_best`` and restarts the direction chain from the true
+    residual (``p = r = b - A x_best``) — restarted-CG semantics, the same
+    shape as the adaptive solver's rollback (reference analog:
+    v3/cpu/adaptivekskipmrr.py:44-66).  On exhaustion the best iterate is
+    returned, never a diverged one.
     """
     if s < 1:
         raise ValueError(f"s must be >= 1, got {s}")
@@ -147,9 +177,13 @@ def cacg_kernel(
 
     r0 = b - ctx.matvec(A, x0)
     p0 = r0
+    xb0 = x0
+    rb0 = jnp.asarray(jnp.inf, dtype=sdt)
     if carry_in is not None:
-        (xc, rc, pc), valid = carry_in
-        x0, r0, p0 = tree_select(valid, (xc, rc, pc), (x0, r0, p0))
+        (xc, rc, pc, xbc, rbc), valid = carry_in
+        x0, r0, p0, xb0, rb0 = tree_select(
+            valid, (xc, rc, pc, xbc, rbc), (x0, r0, p0, xb0, rb0)
+        )
 
     max_outer = -(-maxiter // s)  # ceil
     res_trace = jnp.zeros(max_outer + 1, dtype=sdt)
@@ -159,6 +193,8 @@ def cacg_kernel(
         x0,
         r0,
         p0,
+        xb0,  # best iterate seen (divergence guard)
+        rb0,  # its residual
         jnp.zeros((), jnp.int32),  # i (solution updates)
         jnp.zeros((), jnp.int32),  # index (outer iterations)
         jnp.zeros((), bool),
@@ -167,7 +203,7 @@ def cacg_kernel(
     )
 
     def cond(cst):
-        _x, _r, _p, i, _index, converged, _rt, _nt = cst
+        i, converged = cst[5], cst[7]
         return jnp.logical_and(~converged, i < maxiter)
 
     def _chain(v0, length):
@@ -190,7 +226,7 @@ def cacg_kernel(
         return chain
 
     def body(cst):
-        x, r, p, i, index, _, rtrace, ntrace = cst
+        x, r, p, x_best, res_best, i, index, _, rtrace, ntrace = cst
 
         V = jnp.stack(_chain(p, s + 1) + _chain(r, s))  # (m, n_local)
         G = ctx.gram(V)  # (m, m) in sdt, ONE psum
@@ -198,38 +234,77 @@ def cacg_kernel(
         res = jnp.sqrt(G[o, o]) / b_norm
         rtrace = rtrace.at[index].set(res)
         conv = res < tol
+        bad = jnp.logical_or(
+            ~jnp.isfinite(res), res > _GUARD_GROWTH * res_best
+        )
+        better = jnp.logical_and(jnp.isfinite(res), res < res_best)
+        x_best, res_best = tree_select(
+            better, (x, res), (x_best, res_best)
+        )
 
-        # s CG steps on (m,)-coefficient vectors (scalar-dtype dataflow).
-        p_hat = jnp.zeros(m, sdt).at[0].set(1.0)
-        r_hat = jnp.zeros(m, sdt).at[o].set(1.0)
-        x_hat = jnp.zeros(m, sdt)
-        rGr = G[o, o]
-        for _ in range(s):
-            w = T @ p_hat
-            alpha = safe_div(rGr, p_hat @ (G @ w))
-            x_hat = x_hat + alpha * p_hat
-            r_hat = r_hat - alpha * w
-            rGr_new = r_hat @ (G @ r_hat)
-            beta = safe_div(rGr_new, rGr)
-            p_hat = r_hat + beta * p_hat
-            rGr = rGr_new
+        def rollback(_):
+            # Discard this outer's (diverging) basis; restart the chain
+            # from the best iterate's TRUE residual.
+            r_rb = b - ctx.matvec(A, x_best)
+            return x_best, r_rb, r_rb
 
-        # Recovery: two tall-skinny combinations + residual replacement.
-        x_n = x + (x_hat.astype(vdt) @ V)
-        p_n = (p_hat.astype(vdt) @ V)
-        r_n = b - ctx.matvec(A, x_n)
+        def advance(_):
+            # s CG steps on (m,)-coefficient vectors (scalar-dtype
+            # dataflow).
+            p_hat = jnp.zeros(m, sdt).at[0].set(1.0)
+            r_hat = jnp.zeros(m, sdt).at[o].set(1.0)
+            x_hat = jnp.zeros(m, sdt)
+            rGr = G[o, o]
+            for _ in range(s):
+                w = T @ p_hat
+                alpha = safe_div(rGr, p_hat @ (G @ w))
+                x_hat_n = x_hat + alpha * p_hat
+                r_hat_n = r_hat - alpha * w
+                rGr_new = r_hat_n @ (G @ r_hat_n)
+                beta = safe_div(rGr_new, rGr)
+                p_hat = r_hat_n + beta * p_hat
+                x_hat, r_hat, rGr = x_hat_n, r_hat_n, rGr_new
+
+            # Recovery: two tall-skinny combinations + residual
+            # replacement.  precision=HIGHEST: the default f32 matmul
+            # precision on TPU runs the MXU in bfloat16 passes (~1e-3
+            # relative error), and the carried search direction p must
+            # preserve CG's cross-outer conjugacy in full working
+            # precision.
+            x_n = x + jnp.matmul(
+                x_hat.astype(vdt), V, precision=lax.Precision.HIGHEST
+            )
+            p_n = jnp.matmul(
+                p_hat.astype(vdt), V, precision=lax.Precision.HIGHEST
+            )
+            r_n = b - ctx.matvec(A, x_n)
+            return x_n, r_n, p_n
+
+        x_n, r_n, p_n = lax.cond(bad, rollback, advance, None)
 
         x, r, p = tree_select(conv, (x, r, p), (x_n, r_n, p_n))
         i = jnp.where(conv, i, i + s)
         index = jnp.where(conv, index, index + 1)
         ntrace = jnp.where(conv, ntrace, ntrace.at[index].set(i))
-        return (x, r, p, i, index, conv, rtrace, ntrace)
+        return (
+            x, r, p, x_best, res_best, i, index, conv, rtrace, ntrace
+        )
 
-    x, r, p, i, index, converged, rtrace, ntrace = lax.while_loop(
-        cond, body, carry0
-    )
+    (
+        x, r, p, x_best, res_best, i, index, converged, rtrace, ntrace
+    ) = lax.while_loop(cond, body, carry0)
+
+    # The carry keeps the raw loop state (x, r, p consistent with each
+    # other) so chunked continuation resumes the recurrence exactly; only
+    # the RESULT's x gets the best-iterate substitution below.
+    carry_out = (x, r, p, x_best, res_best) if emit_carry else None
 
     final_res = ctx.norm(r) / b_norm
+    # On exhaustion return the BEST iterate, never a diverged one (its
+    # residual is exact: it was measured when x_best was saved).
+    use_best = jnp.logical_and(~converged, res_best < final_res)
+    x = tree_select(use_best, x_best, x)
+    final_res = jnp.where(use_best, res_best, final_res)
     rtrace = jnp.where(converged, rtrace, rtrace.at[index].set(final_res))
 
     return SolveResult(
@@ -239,7 +314,7 @@ def cacg_kernel(
         iterations=i,
         index=index,
         converged=converged,
-        carry=(x, r, p) if emit_carry else None,
+        carry=carry_out,
     )
 
 
@@ -278,8 +353,15 @@ def camrr_kernel(
         ŷ <- eta ŷ + zeta Ar;  ẑ <- eta ẑ - zeta r̂;  r̂ <- r̂ - ŷ
 
     Recovery combines x/y/z from the basis and recomputes ``r = b - A x``
-    (residual replacement).  ``carry_in=((x, r, y, z), valid)`` resumes
-    exactly; ``emit_carry=True`` returns that state.
+    (residual replacement).  ``carry_in=((x, r, y, z, x_best, res_best),
+    valid)`` resumes exactly; ``emit_carry=True`` returns that state.
+
+    Carries the same outer-level divergence guard as :func:`cacg_kernel`
+    (best-iterate tracking; rollback on non-finite or >10x-regressed
+    residual, restarting y/z via the MrR init half-step — the reference's
+    adaptive rollback shape, v3/cpu/adaptivekskipmrr.py:44-66).  camrr is
+    measured-robust on the TPU backend; the guard is insurance that a
+    stagnated run returns its best iterate instead of a diverged one.
     """
     if s < 1:
         raise ValueError(f"s must be >= 1, got {s}")
@@ -320,10 +402,13 @@ def camrr_kernel(
     i0 = jnp.ones((), jnp.int32)
     index0 = jnp.ones((), jnp.int32)
     x_c, r_c, y_c, z_c = x_init, r0, y0, z0
+    xb0 = x_init
+    rb0 = jnp.asarray(jnp.inf, dtype=sdt)
     if carry_in is not None:
-        (xc, rc, yc, zc), valid = carry_in
-        x_c, r_c, y_c, z_c = tree_select(
-            valid, (xc, rc, yc, zc), (x_c, r_c, y_c, z_c)
+        (xc, rc, yc, zc, xbc, rbc), valid = carry_in
+        x_c, r_c, y_c, z_c, xb0, rb0 = tree_select(
+            valid, (xc, rc, yc, zc, xbc, rbc),
+            (x_c, r_c, y_c, z_c, xb0, rb0),
         )
         i0 = jnp.where(valid, 0, i0).astype(jnp.int32)
         index0 = jnp.where(valid, 0, index0).astype(jnp.int32)
@@ -336,13 +421,14 @@ def camrr_kernel(
 
     carry0 = (
         x_c, r_c, y_c, z_c,
+        xb0, rb0,
         i0, index0,
         jnp.zeros((), bool),
         res_trace, nosl_trace,
     )
 
     def cond(cst):
-        i, converged = cst[4], cst[6]
+        i, converged = cst[6], cst[8]
         return jnp.logical_and(~converged, i < maxiter)
 
     def _chain(v0, length):
@@ -364,7 +450,7 @@ def camrr_kernel(
         return chain
 
     def body(cst):
-        x, r, y, z, i, index, _, rtrace, ntrace = cst
+        x, r, y, z, x_best, res_best, i, index, _, rtrace, ntrace = cst
 
         V = jnp.stack(_chain(r, s + 1) + _chain(y, s + 1) + [z])
         G = ctx.gram(V)  # ONE psum per s MrR steps
@@ -372,28 +458,61 @@ def camrr_kernel(
         res = jnp.sqrt(G[0, 0]) / b_norm
         rtrace = rtrace.at[index].set(res)
         conv = res < tol
+        bad = jnp.logical_or(
+            ~jnp.isfinite(res), res > _GUARD_GROWTH * res_best
+        )
+        better = jnp.logical_and(jnp.isfinite(res), res < res_best)
+        x_best, res_best = tree_select(
+            better, (x, res), (x_best, res_best)
+        )
 
-        r_hat = jnp.zeros(m, sdt).at[0].set(1.0)
-        y_hat = jnp.zeros(m, sdt).at[o].set(1.0)
-        z_hat = jnp.zeros(m, sdt).at[oz].set(1.0)
-        x_hat = jnp.zeros(m, sdt)
-        for _ in range(s):
-            Ar_hat = T @ r_hat
-            Gy = G @ y_hat
-            gamma = safe_div(Ar_hat @ Gy, y_hat @ Gy)
-            s_hat = Ar_hat - gamma * y_hat
-            Gs = G @ s_hat
-            zeta = safe_div(r_hat @ Gs, s_hat @ Gs)
-            eta = -zeta * gamma
-            y_hat = eta * y_hat + zeta * Ar_hat
-            z_hat = eta * z_hat - zeta * r_hat
-            r_hat = r_hat - y_hat
-            x_hat = x_hat - z_hat
+        def rollback(_):
+            # Restart from the best iterate via the MrR init half-step
+            # (reference: v3/cpu/mrr.py:20-31) — one extra matvec + one
+            # dot_bundle, only on the (rare) rollback branch.
+            r_rb = b - ctx.matvec(A, x_best)
+            Ar1 = ctx.matvec(A, r_rb)
+            rAr_rb, ArAr_rb = ctx.dot_bundle([(r_rb, Ar1), (Ar1, Ar1)])
+            zeta_rb = safe_div(rAr_rb, ArAr_rb)
+            y_rb = (zeta_rb * Ar1).astype(vdt)
+            z_rb = (-zeta_rb * r_rb).astype(vdt)
+            return (
+                x_best - z_rb, (r_rb - y_rb).astype(vdt), y_rb, z_rb
+            )
 
-        x_n = x + (x_hat.astype(vdt) @ V)
-        y_n = (y_hat.astype(vdt) @ V)
-        z_n = (z_hat.astype(vdt) @ V)
-        r_n = b - ctx.matvec(A, x_n)  # residual replacement
+        def advance(_):
+            r_hat = jnp.zeros(m, sdt).at[0].set(1.0)
+            y_hat = jnp.zeros(m, sdt).at[o].set(1.0)
+            z_hat = jnp.zeros(m, sdt).at[oz].set(1.0)
+            x_hat = jnp.zeros(m, sdt)
+            for _ in range(s):
+                Ar_hat = T @ r_hat
+                Gy = G @ y_hat
+                gamma = safe_div(Ar_hat @ Gy, y_hat @ Gy)
+                s_hat = Ar_hat - gamma * y_hat
+                Gs = G @ s_hat
+                zeta = safe_div(r_hat @ Gs, s_hat @ Gs)
+                eta = -zeta * gamma
+                y_hat = eta * y_hat + zeta * Ar_hat
+                z_hat = eta * z_hat - zeta * r_hat
+                r_hat = r_hat - y_hat
+                x_hat = x_hat - z_hat
+
+            # precision=HIGHEST as in cacg_kernel (TPU default = bf16 MXU
+            # passes).
+            x_n = x + jnp.matmul(
+                x_hat.astype(vdt), V, precision=lax.Precision.HIGHEST
+            )
+            y_n = jnp.matmul(
+                y_hat.astype(vdt), V, precision=lax.Precision.HIGHEST
+            )
+            z_n = jnp.matmul(
+                z_hat.astype(vdt), V, precision=lax.Precision.HIGHEST
+            )
+            r_n = b - ctx.matvec(A, x_n)  # residual replacement
+            return x_n, r_n, y_n, z_n
+
+        x_n, r_n, y_n, z_n = lax.cond(bad, rollback, advance, None)
 
         x, r, y, z = tree_select(
             conv, (x, r, y, z), (x_n, r_n, y_n, z_n)
@@ -401,13 +520,20 @@ def camrr_kernel(
         i = jnp.where(conv, i, i + s)
         index = jnp.where(conv, index, index + 1)
         ntrace = jnp.where(conv, ntrace, ntrace.at[index].set(i))
-        return (x, r, y, z, i, index, conv, rtrace, ntrace)
+        return (
+            x, r, y, z, x_best, res_best, i, index, conv, rtrace, ntrace
+        )
 
-    x, r, y, z, i, index, converged, rtrace, ntrace = lax.while_loop(
-        cond, body, carry0
-    )
+    (
+        x, r, y, z, x_best, res_best, i, index, converged, rtrace, ntrace
+    ) = lax.while_loop(cond, body, carry0)
+
+    carry_out = (x, r, y, z, x_best, res_best) if emit_carry else None
 
     final_res = ctx.norm(r) / b_norm
+    use_best = jnp.logical_and(~converged, res_best < final_res)
+    x = tree_select(use_best, x_best, x)
+    final_res = jnp.where(use_best, res_best, final_res)
     rtrace = jnp.where(converged, rtrace, rtrace.at[index].set(final_res))
 
     return SolveResult(
@@ -417,5 +543,5 @@ def camrr_kernel(
         iterations=i,
         index=index,
         converged=converged,
-        carry=(x, r, y, z) if emit_carry else None,
+        carry=carry_out,
     )
