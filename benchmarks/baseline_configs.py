@@ -59,6 +59,36 @@ def emit(row, **payload):
     print(json.dumps({"baseline_row": row, **payload}), flush=True)
 
 
+# --only tag filter for rows 4/4b (round 5): re-capture a single solver row
+# (e.g. a clean uncontended cg, or camrr on 4b) without paying for the whole
+# sweep.  Empty = run everything.
+_ONLY: set = set()
+
+
+def _selected(tag: str) -> bool:
+    return not _ONLY or any(pat in tag for pat in _ONLY)
+
+
+def _entropy_rng():
+    """OS-entropy-seeded rng for timed inputs: the remote TPU backend
+    result-caches identical (program, input-values) executions ACROSS
+    PROCESSES, so a fixed seed can replay a previous run's cached result in
+    ~4 ms instead of executing (captured: round-4 row-4 cg,
+    time_to_solution_s 0.0039 on a 14-iteration 1M-row solve).  Returns
+    (rng, seed) so captures record the seed."""
+    seed = int.from_bytes(os.urandom(8), "little")
+    return np.random.default_rng(seed), seed
+
+
+def _true_converged(info_converged, true_res, tol):
+    """A captured row may only claim converged=true if the INDEPENDENT
+    host-f64 true residual meets tol (VERDICT r4 #5: two round-4 rows said
+    converged with true residual above tol)."""
+    import math
+
+    return bool(info_converged) and math.isfinite(true_res) and true_res < tol
+
+
 def _fresh(rng, n, dtype):
     v = jnp.asarray(rng.standard_normal(n).astype(dtype))
     return jax.block_until_ready(v)
@@ -314,7 +344,6 @@ def row4():
         np.sum(np.asarray(H.tail_data) != 0, axis=1).astype(np.int64),
     )
     max_row_nnz = int(row_nnz.max())
-    rng = np.random.default_rng(2)
     payload = {
         "general_sparse": dict(
             container=type(H).__name__,
@@ -326,6 +355,8 @@ def row4():
         )
     }
     nnz_h = H.nnz
+    rng, seed = _entropy_rng()
+    payload["general_sparse"]["entropy_seed"] = seed
     if jax.default_backend() == "tpu":
         # f64 scalar recurrences for the mixed-precision runs below
         jax.config.update("jax_enable_x64", True)
@@ -344,17 +375,21 @@ def row4():
         ("cacg_s8", "cacg", dict(k=8, scalar_dtype=jnp.float64)),
         ("camrr_s8", "camrr", dict(k=8, scalar_dtype=jnp.float64)),
     ):
+        if not _selected(tag):
+            continue
         t, info, b_used, x_out = _solve_chunked_timed(
             H, rng, dtype, method=method, tol=1e-6, maxiter=400,
             chunk_iters=64, **kw,
         )
         iters = int(info["iterations"])
+        true_res = _true_residual64(H, b_used, x_out)
         payload["general_sparse"][tag] = dict(
             time_to_solution_s=round(t, 6),
             iterations=iters,
-            converged=bool(info["converged"]),
+            converged=_true_converged(info["converged"], true_res, 1e-6),
+            converged_recurred=bool(info["converged"]),
             final_residual=float(info["residual"][-1]),
-            final_residual_true=_true_residual64(H, b_used, x_out),
+            final_residual_true=true_res,
             nnz_per_s_solve=round(nnz_h * iters / t / 1e9, 3),
             chunks=int(info.get("chunks", 1)),
         )
@@ -363,30 +398,47 @@ def row4():
     # design point is f64 CG with A.dot on scipy CSR (v3/cpu/cg.py:27).
     from krylov_tpu.sparse.fixtures import powerlaw_spd as _pl
 
-    A_sp64 = _pl(n, seed=42)
-    b_h = np.random.default_rng(2).standard_normal(n)
-    t_h, it_h, res_h = _host_reference_cg(A_sp64, b_h, 1e-6, 400)
-    tpu_rate = payload["general_sparse"]["cg"]["nnz_per_s_solve"]
-    host_rate = round(A_sp64.nnz * it_h / t_h / 1e9, 3)
-    payload["host_reference_cg_f64"] = dict(
-        time_s=round(t_h, 3), iterations=it_h, final_residual=res_h,
-        nnz_per_s=host_rate,
-        tpu_cg_vs_host=round(tpu_rate / host_rate, 2) if host_rate else None,
-    )
+    if _selected("host_reference") or "cg" in payload["general_sparse"]:
+        A_sp64 = _pl(n, seed=42)
+        b_h = np.random.default_rng(2).standard_normal(n)
+        t_h, it_h, res_h = _host_reference_cg(A_sp64, b_h, 1e-6, 400)
+        host_rate = round(A_sp64.nnz * it_h / t_h / 1e9, 3)
+        payload["host_reference_cg_f64"] = dict(
+            time_s=round(t_h, 3), iterations=it_h, final_residual=res_h,
+            nnz_per_s=host_rate,
+        )
+        cg_row = payload["general_sparse"].get("cg")
+        if cg_row and host_rate:
+            payload["host_reference_cg_f64"]["tpu_cg_vs_host"] = round(
+                cg_row["nnz_per_s_solve"] / host_rate, 2
+            )
+            payload["host_reference_cg_f64"]["tpu_cg_speedup_time"] = round(
+                t_h / cg_row["time_to_solution_s"], 2
+            )
 
     A = laplace2d(1024, dtype=dtype)  # N = 1,048,576 structured
-    for tag, method in (("kskipmrr_k8", "kskipmrr"), ("adaptive_k8", "adaptivekskipmrr")):
+    for tag, method, extra_kw in (
+        ("kskipmrr_k8", "kskipmrr", {}),
+        # restarts=1: device-side defect correction so converged means
+        # TRUE-residual-converged (round-4 captured recurred 1.0e-4 with
+        # true 1.4e-4 at kappa~1e5 — VERDICT r4 #5).
+        ("adaptive_k8", "adaptivekskipmrr", dict(restarts=1)),
+    ):
+        if not _selected("laplace2d_" + tag):
+            continue
         t, res, b_used = _time_solve(
             A, rng, dtype, method=method, k=8, tol=1e-4, maxiter=4000,
-            repeats=1,
+            repeats=1, **extra_kw,
         )
         iters = int(res.iterations)
+        true_res = _true_residual64(A, np.asarray(b_used), np.asarray(res.x))
         payload[f"laplace2d_{tag}"] = dict(
             time_to_solution_s=round(t, 6),
             iterations=iters,
-            converged=bool(res.converged),
+            converged=_true_converged(res.converged, true_res, 1e-4),
+            converged_recurred=bool(res.converged),
             final_residual=float(np.asarray(res.residual_trace)[res.index]),
-            final_residual_true=_true_residual64(A, np.asarray(b_used), np.asarray(res.x)),
+            final_residual_true=true_res,
             nnz_per_s_solve=round(A.nnz * iters / t / 1e9, 3),
         )
     emit(
@@ -427,9 +479,9 @@ def row4b():
         spla.eigsh(A_sp, k=1, which="LA", return_eigenvectors=False,
                    tol=1e-3)[0]
     )
-    rng = np.random.default_rng(7)
+    rng, seed = _entropy_rng()
     tol = 1e-4 if dtype == np.float32 else 1e-6
-    payload = {}
+    payload = {"entropy_seed": seed}
     from krylov_tpu import precond
 
     for tag, method, kw in (
@@ -446,6 +498,8 @@ def row4b():
         ("cacg_s8", "cacg", dict(k=8, scalar_dtype=jnp.float64)),
         ("camrr_s8", "camrr", dict(k=8, scalar_dtype=jnp.float64)),
     ):
+        if not _selected(tag):
+            continue
         if "scalar_dtype" in kw:
             jax.config.update("jax_enable_x64", True)
         t, info, b_used, x_out = _solve_chunked_timed(
@@ -453,15 +507,17 @@ def row4b():
             chunk_iters=64, **kw,
         )
         iters = int(info["iterations"])
+        # independent host-f64 check against the SCIPY matrix (not the
+        # HYB container) — VERDICT r3 weak-6: the pcg_jacobi claim
+        # leaned on the recurred residual alone
+        true_res = _true_residual64(A_sp, b_used, x_out)
         payload[tag] = dict(
             time_to_solution_s=round(t, 6),
             iterations=iters,
-            converged=bool(info["converged"]),
+            converged=_true_converged(info["converged"], true_res, tol),
+            converged_recurred=bool(info["converged"]),
             final_residual=float(info["residual"][-1]),
-            # independent host-f64 check against the SCIPY matrix (not the
-            # HYB container) — VERDICT r3 weak-6: the pcg_jacobi claim
-            # leaned on the recurred residual alone
-            final_residual_true=_true_residual64(A_sp, b_used, x_out),
+            final_residual_true=true_res,
             nnz_per_s_solve=round(H.nnz * iters / t / 1e9, 3),
             chunks=int(info.get("chunks", 1)),
         )

@@ -136,6 +136,15 @@ def _cmd_solve(args) -> int:
     dtype = np.dtype(cfg.get("dtype", "float32"))
     scalar_dtype = cfg.get("scalar_dtype")
     if scalar_dtype is not None:
+        # Config-file values bypass argparse's choices=; validate the same
+        # way so a typo ("f64") or non-float dtype fails with a clean error.
+        if str(scalar_dtype) not in ("float32", "float64"):
+            print(
+                f"error: scalar_dtype must be 'float32' or 'float64', "
+                f"got {scalar_dtype!r}",
+                file=sys.stderr,
+            )
+            return 2
         scalar_dtype = np.dtype(scalar_dtype)
     if dtype == np.float64 or scalar_dtype == np.float64:
         # Without x64, JAX silently downcasts to float32 while the banner
@@ -249,7 +258,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="k-skip: pow2-normalized Krylov chains (float32 "
                         "stability on ill-conditioned systems)")
     s.add_argument("--scalar-dtype", dest="scalar_dtype",
-                   help="dtype for scalar recurrences (e.g. float64)")
+                   choices=["float32", "float64"],
+                   help="dtype for scalar recurrences")
     s.add_argument("--chunk-iters", dest="chunk_iters", type=int,
                    help="bound each device dispatch to this many iterations "
                    "(exact state carry for cg/mrr; warm restart otherwise)")
