@@ -135,6 +135,56 @@ def _solve_chunked_timed(A, b_rng, dtype, chunk_iters=64, **kw):
     return info["time"], info, b, x
 
 
+def _time_solve_batched(A, b_rng, dtype, nrhs, **kw):
+    """One-dispatch multi-RHS solve (vmapped kernel), timed through a host
+    fetch on fresh entropy inputs (same discipline as _time_solve)."""
+    import krylov_tpu
+
+    n = A.shape[0]
+    B_w = jnp.asarray(b_rng.standard_normal((nrhs, n)).astype(dtype))
+    r0 = krylov_tpu.solve_batched(A, B_w, **kw)  # compile
+    np.asarray(r0.iterations)
+    B_t = jnp.asarray(b_rng.standard_normal((nrhs, n)).astype(dtype))
+    jax.block_until_ready(B_t)
+    t0 = time.perf_counter()
+    res = krylov_tpu.solve_batched(A, B_t, **kw)
+    np.asarray(res.iterations)  # completion barrier
+    return time.perf_counter() - t0, res
+
+
+def _host_blocked_cg(A_sp, B, tol, maxiter):
+    """Blocked (multi-RHS) reference-semantics CG on host scipy CSR in
+    float64: one ``A @ X`` per iteration over (n, nrhs), per-column
+    scalars, columns freeze at their own convergence.  The strongest fair
+    host baseline for the multi-RHS capture (the reference itself solves
+    one system at a time, v3/cpu/cg.py:19)."""
+    t0 = time.perf_counter()
+    n, nrhs = B.shape
+    X = np.zeros((n, nrhs))
+    b_norm = np.linalg.norm(B, axis=0)
+    R = B - A_sp @ X
+    P = R.copy()
+    gamma = np.einsum("ij,ij->j", R, R)
+    active = np.ones(nrhs, bool)
+    iters = np.zeros(nrhs, int)
+    for i in range(maxiter):
+        rel = np.sqrt(gamma) / b_norm
+        active &= rel >= tol
+        if not active.any():
+            break
+        V = A_sp @ P[:, active]
+        sigma = np.einsum("ij,ij->j", P[:, active], V)
+        alpha = gamma[active] / sigma
+        X[:, active] += alpha * P[:, active]
+        R[:, active] -= alpha * V
+        g_new = np.einsum("ij,ij->j", R[:, active], R[:, active])
+        beta = g_new / gamma[active]
+        P[:, active] = R[:, active] + beta * P[:, active]
+        gamma[active] = g_new
+        iters[active] += 1
+    return time.perf_counter() - t0, [int(v) for v in iters]
+
+
 def _true_residual64(A_host, b, x):
     """Host-float64 ||b - A x|| / ||b|| — the independent fidelity field
     every captured sub-row carries (VERDICT r3 item 9)."""
@@ -416,6 +466,46 @@ def row4():
                 t_h / cg_row["time_to_solution_s"], 2
             )
 
+    # Multi-RHS blocked CG (VERDICT r4 #4): the HYB gather's index stream
+    # is identical for every right-hand side, so a vmapped 8-RHS solve
+    # reuses one gather per 8 fused multiply-adds — the amortization lever
+    # for beating the host on general sparse.  Captured per-RHS, against
+    # BOTH host baselines: 8 sequential reference CGs and an equally
+    # blocked host CG (scipy CSR @ (n, 8) — the strongest fair host form).
+    if _selected("cg_multirhs"):
+        try:
+            nrhs = 8
+            t_b, res_b = _time_solve_batched(
+                H, rng, dtype, nrhs, method="cg", tol=1e-6, maxiter=400,
+            )
+            iters_b = [int(v) for v in np.asarray(res_b.iterations)]
+            payload["general_sparse"]["cg_multirhs"] = dict(
+                nrhs=nrhs,
+                time_all_s=round(t_b, 6),
+                time_per_rhs_s=round(t_b / nrhs, 6),
+                iterations=iters_b,
+                converged=all(bool(v) for v in np.asarray(res_b.converged)),
+                nnz_per_s_solve=round(
+                    nnz_h * sum(iters_b) / t_b / 1e9, 3
+                ),
+            )
+            from krylov_tpu.sparse.fixtures import powerlaw_spd as _pl2
+
+            A_h64 = _pl2(n, seed=42)
+            Bh = np.random.default_rng(5).standard_normal((n, nrhs))
+            t_hb, it_hb = _host_blocked_cg(A_h64, Bh, 1e-6, 400)
+            payload["general_sparse"]["host_blocked_cg_f64"] = dict(
+                nrhs=nrhs, time_all_s=round(t_hb, 3),
+                time_per_rhs_s=round(t_hb / nrhs, 6), iterations=it_hb,
+            )
+            payload["general_sparse"]["multirhs_vs_host_blocked"] = round(
+                (t_hb / nrhs) / (t_b / nrhs), 2
+            )
+        except Exception as e:  # never lose the row's other captures
+            payload["general_sparse"]["cg_multirhs_error"] = (
+                f"{type(e).__name__}: {e}"[:500]
+            )
+
     A = laplace2d(1024, dtype=dtype)  # N = 1,048,576 structured
     for tag, method, extra_kw in (
         ("kskipmrr_k8", "kskipmrr", {}),
@@ -527,12 +617,13 @@ def row4b():
     b_h = np.random.default_rng(11).standard_normal(n)
     t_h, it_h, res_h = _host_reference_cg(A_sp, b_h, tol, 8000)
     host_rate = round(A_sp.nnz * it_h / t_h / 1e9, 3)
+    cg_row = payload.get("cg")
     payload["host_reference_cg_f64"] = dict(
         time_s=round(t_h, 3), iterations=it_h, final_residual=res_h,
         nnz_per_s=host_rate,
         tpu_cg_vs_host=(
-            round(payload["cg"]["nnz_per_s_solve"] / host_rate, 2)
-            if host_rate
+            round(cg_row["nnz_per_s_solve"] / host_rate, 2)
+            if host_rate and cg_row
             else None
         ),
     )
@@ -590,7 +681,12 @@ def row5():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", nargs="+", default=["1", "2", "3", "4", "5"])
+    ap.add_argument("--only", nargs="+", default=(),
+                    help="rows 4/4b: run only solver tags containing one "
+                         "of these substrings (plus the host baseline "
+                         "when 'cg'/'host_reference' matches)")
     args = ap.parse_args()
+    _ONLY.update(args.only)
     if jax.default_backend() == "cpu":
         jax.config.update("jax_enable_x64", True)
     table = {"1": row1, "2": row2, "3": row3, "4": row4, "4b": row4b, "5": row5}

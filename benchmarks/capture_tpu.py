@@ -39,10 +39,10 @@ def _finite(obj):
     return obj
 
 
-def run_row(row: str, timeout_s: int) -> list[dict]:
+def run_row(row: str, timeout_s: int, only=()) -> list[dict]:
     proc = subprocess.run(
         [sys.executable, os.path.join(_HERE, "baseline_configs.py"),
-         "--rows", str(row)],
+         "--rows", str(row)] + (["--only", *only] if only else []),
         capture_output=True,
         text=True,
         timeout=timeout_s,
@@ -74,6 +74,9 @@ def main():
     ap.add_argument("--attempts", type=int, default=3)
     ap.add_argument("--timeout", type=int, default=2700,
                     help="per-attempt subprocess timeout (s)")
+    ap.add_argument("--only", nargs="+", default=(),
+                    help="row-4/4b solver-tag filter (substring match), "
+                         "forwarded to baseline_configs --only")
     args = ap.parse_args()
 
     captured, failed = [], []
@@ -81,7 +84,7 @@ def main():
         for attempt in range(1, args.attempts + 1):
             t0 = time.perf_counter()
             try:
-                rows = run_row(row, args.timeout)
+                rows = run_row(row, args.timeout, only=args.only)
             except Exception as e:
                 dt = time.perf_counter() - t0
                 print(

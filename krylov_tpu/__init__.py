@@ -20,6 +20,7 @@ from krylov_tpu import sparse
 from krylov_tpu.context import Context, DEFAULT_CONTEXT
 from krylov_tpu.api import (
     solve,
+    solve_batched,
     solve_device,
     cg,
     mrr,
@@ -35,6 +36,7 @@ __all__ = [
     "Context",
     "DEFAULT_CONTEXT",
     "solve",
+    "solve_batched",
     "solve_device",
     "cg",
     "mrr",

@@ -33,10 +33,16 @@ built and the cumulative scale factors are carried in the SCALAR dtype;
 the Gram of the normalized basis (all entries O(1)) is then rescaled by
 ``outer(c, c)`` so alpha/beta/delta take exactly their mathematical
 values — exact algebra, no approximation, and the recurrences are
-untouched.  Combined with ``scalar_dtype=float64`` this gives f32 vectors
-+ f64 bundle/recurrences without overflow: the TPU equivalent of the
-reference's all-f64 policy (reference: v3/cpu/common.py:23) on hard
-problems.  Costs: one extra norm reduction per basis vector, batched in
+untouched.  Scope of the fix (measured, round-4 captures): normalization
+prevents the GRAM OVERFLOW failure mode — with ``scalar_dtype=float64``
+it rescued the adaptive solver on the 1M-row general-sparse capture
+(NaN -> converged, true residual 9.2e-7) — but it does NOT repair the
+recurrences' kappa^k cancellation: plain monomial k-skip MrR still
+recorded NaN with basis_norm at k=8 on that system and at k=4 on its
+ill-conditioned companion.  For stiff systems at large skip sizes use
+the Chebyshev-basis methods (``cacg``/``camrr``), whose Gram entries
+stay O(||r||^2) by construction; basis_norm + adaptive k is the
+monomial-family fallback.  Costs: one extra norm reduction per basis vector, batched in
 pairs across the Ar/Ay chains (k+1 extra fused psums per outer iteration
 when distributed).  The vector updates are unaffected (they only consume
 the carried true ``Ar[1]``, never the higher powers).

@@ -44,6 +44,7 @@ _GATHER_SLICE_W = 16
 _FORCE_SLICE_GATHER = False
 
 
+@jax.custom_batching.custom_vmap
 def gather_rows(x: jax.Array, idx: jax.Array) -> jax.Array:
     """``x[idx]`` for 1-D ``x`` and integer ``idx`` of any shape — the
     irregular-SpMV gather primitive.
@@ -80,6 +81,35 @@ def gather_rows(x: jax.Array, idx: jax.Array) -> jax.Array:
     # where (not multiply-sum of the one-hot): 0 * inf = NaN would let a
     # non-finite x entry poison gathers of OTHER indices in its W-block.
     return jnp.sum(jnp.where(sel, slices, 0), axis=-1)
+
+
+@gather_rows.def_vmap
+def _gather_rows_vmap(axis_size, in_batched, x, idx):
+    """Batched gathers amortize to ONE multi-RHS row gather.
+
+    ``vmap``-ing the slice-gather formulation materializes a
+    (batch, idx..., W) intermediate — 68 GB at the 1M-row, 8-RHS HYB shape
+    (measured OOM at compile).  But a batch of gathers with SHARED indices
+    is exactly the multi-RHS amortization opportunity: lay the batch out
+    as the TRAILING axis of a (n, batch) matrix and gather ROWS — each
+    gathered "element" is then a batch-wide contiguous slice, so the
+    per-element addressing cost (~3.1 ns, gather_probe_r4) is paid once
+    per index for the whole batch.  This is what makes blocked multi-RHS
+    CG over general sparse pay on TPU (VERDICT r4 #4).
+    """
+    x_b, idx_b = in_batched
+    if x_b and not idx_b:
+        xt = jnp.moveaxis(x, 0, -1)  # (n, batch)
+        out = jnp.take(xt, idx, axis=0)  # (*idx.shape, batch)
+        return jnp.moveaxis(out, -1, 0), True
+    if not x_b and not idx_b:
+        return gather_rows(x, idx), False
+    # idx batched (rare: batched operators) — sequential fallback.
+    from jax import lax
+
+    if not x_b:
+        return lax.map(lambda i: gather_rows(x, i), idx), True
+    return lax.map(lambda xi: gather_rows(xi[0], xi[1]), (x, idx)), True
 
 
 @dataclasses.dataclass(frozen=True)
