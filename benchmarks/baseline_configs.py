@@ -120,7 +120,7 @@ def _time_solve(A, b_rng, dtype, repeats=2, **kw):
     return best, res, b_best
 
 
-def _solve_chunked_timed(A, b_rng, dtype, chunk_iters=64, **kw):
+def _solve_chunked_timed(A, b_rng, dtype, chunk_iters=64, warmup=True, **kw):
     """Chunk-dispatched solve through the public API, fresh rhs; returns
     (execution_seconds, info, b, x).  Long single executions on the 1M-row
     HYB gather operator fault the remote TPU (memory: ~60s+ executions), so
@@ -128,8 +128,20 @@ def _solve_chunked_timed(A, b_rng, dtype, chunk_iters=64, **kw):
     restarted-Krylov accounting (info['chunks']).  Each chunk ends in a
     device_get (a true completion barrier), so the summed per-chunk
     execution time is trustworthy; wall time around the whole call minus
-    compile is recorded by callers wanting a cross-check."""
+    compile is recorded by callers wanting a cross-check.
+
+    ``warmup=True`` first runs the same solve on a DIFFERENT entropy rhs:
+    on the remote backend the first execution of a freshly-compiled
+    program pays a device-side program load measured in tens of seconds
+    at the 1M-row irregular shape (round-5 capture: 92 s first execution
+    vs ~1 s steady-state for 14 CG iterations whose dependent-chain
+    ground truth is 72.8 ms/iter).  The warmup rhs is distinct so the
+    timed run cannot be served from the backend's (program, input-values)
+    result cache."""
     n = A.shape[0]
+    if warmup:
+        b_w = np.asarray(b_rng.standard_normal(n), dtype=dtype)
+        krylov_tpu.solve(A, b_w, chunk_iters=chunk_iters, **kw)
     b = np.asarray(b_rng.standard_normal(n), dtype=dtype)
     x, info = krylov_tpu.solve(A, b, chunk_iters=chunk_iters, **kw)
     return info["time"], info, b, x

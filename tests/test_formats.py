@@ -265,3 +265,27 @@ def test_gather_rows_vmap_matches_per_lane(rng):
         np.testing.assert_array_equal(got2, expect)
     finally:
         formats._FORCE_SLICE_GATHER = old
+
+
+def test_scatter_add_rows_vmap_matches_per_lane(rng):
+    """Round-5: the batched HYB tail scatter routes through a trailing-axis
+    slice scatter (same amortization as the gathers); must equal per-lane
+    scatter-adds, duplicates accumulating."""
+    import jax
+    from krylov_tpu.sparse.formats import _scatter_add_rows
+
+    n, t, batch = 97, 23, 5
+    Y = rng.standard_normal((batch, n)).astype(np.float32)
+    E = rng.standard_normal((batch, t)).astype(np.float32)
+    rows = rng.integers(0, n, size=t).astype(np.int32)
+    rows[3] = rows[7]  # duplicate target: contributions must accumulate
+
+    expect = Y.copy()
+    for b in range(batch):
+        np.add.at(expect[b], rows, E[b])
+    got = np.asarray(
+        jax.vmap(
+            lambda y, e: _scatter_add_rows(y, jnp.asarray(rows), e)
+        )(jnp.asarray(Y), jnp.asarray(E))
+    )
+    np.testing.assert_allclose(got, expect, rtol=1e-6)
