@@ -629,8 +629,12 @@ def row4b():
          dict(k=8, scalar_dtype=jnp.float64, basis_norm=True)),
         ("cacg_s8", "cacg",
          dict(k=8, scalar_dtype=jnp.float64, maxiter=1500, trials=1)),
+        # camrr plateaus near tol on this graded spectrum (measured:
+        # long 1.4e-4 plateau before breaking to 9.9e-5) — needs the
+        # larger budget; converged at 385 iterations on the round-5
+        # capture.
         ("camrr_s8", "camrr",
-         dict(k=8, scalar_dtype=jnp.float64, maxiter=1500, trials=1)),
+         dict(k=8, scalar_dtype=jnp.float64, maxiter=4800, trials=1)),
     ):
         if not _selected(tag):
             continue
