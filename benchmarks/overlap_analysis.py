@@ -202,7 +202,8 @@ def _specs_as(op, op_specs, strategy):
     )
 
 
-def build_and_lower(mesh, A, maxiter=500, method="mrr", strategy=None, k=0):
+def build_and_lower(mesh, A, maxiter=500, method="mrr", strategy=None, k=0,
+                    sb=None):
     (axis,) = mesh.axis_names
     n_dev = mesh.devices.size
     op, op_specs = shard_operator(A, n_dev, axis=axis)
@@ -214,7 +215,7 @@ def build_and_lower(mesh, A, maxiter=500, method="mrr", strategy=None, k=0):
     ctx = Context(axis=axis)
     fn = _build(
         mesh, axis, method, maxiter, k, ctx, op_specs, None,
-        method == "adaptivekskipmrr",
+        method == "adaptivekskipmrr", sb=sb,
     )
     n = A.shape[0]
     b = jax.ShapeDtypeStruct((n,), A.dtype)
@@ -222,10 +223,11 @@ def build_and_lower(mesh, A, maxiter=500, method="mrr", strategy=None, k=0):
     return fn.lower(op, b, b, tol), op
 
 
-def analyze_mesh(mesh, A, emit, label, method="mrr", k=0, dcn=False):
+def analyze_mesh(mesh, A, emit, label, method="mrr", k=0, dcn=False,
+                 sb=None):
     for strategy in ("halo", "allgather"):
         lowered, op = build_and_lower(
-            mesh, A, strategy=strategy, method=method, k=k
+            mesh, A, strategy=strategy, method=method, k=k, sb=sb
         )
         hlo = lowered.compile().as_text()
         summary = summarize(hlo)
@@ -337,6 +339,13 @@ def main():
         analyze_mesh(
             mesh, A, emit, "tpu_v5e_2x4_x2slices_dcn_aot",
             method="adaptivekskipmrr", k=4, dcn=True,
+        )
+        # Chebyshev-basis CA family across the DCN seam (round 5): the
+        # one-Gram-psum-per-s-steps structure must survive the 2-slice
+        # lowering (static bounds — no Lanczos run in an AOT compile).
+        analyze_mesh(
+            mesh, A, emit, "tpu_v5e_2x4_x2slices_dcn_aot",
+            method="cacg", k=8, dcn=True, sb=(0.05, 8.0),
         )
         return
     if args.tpu_topology:
