@@ -46,6 +46,7 @@ def _run(name, extra_env=None):
         "distributed_solve.py",
         "preconditioned.py",
         "production_long_solve.py",
+        "multi_rhs_solve.py",
     ],
 )
 def test_example_runs(name):
@@ -60,3 +61,5 @@ def test_example_runs(name):
     if name == "production_long_solve.py":
         assert "matches unbroken solve" in out
         assert "resumed: converged=True" in out
+    if name == "multi_rhs_solve.py":
+        assert out.count("converged=True") == 8
