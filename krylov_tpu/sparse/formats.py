@@ -554,6 +554,12 @@ _register_dataclass_pytree(DenseMatrix, ["data"], [])
 Operator = DiaMatrix | StencilMatrix | EllMatrix | HybMatrix | DenseMatrix
 
 
+# Identity-keyed commit cache: host-lazy container -> committed form.
+# Weakly keyed on the HOST container (evicted when it is collected); the
+# `ref() is A` check guards against id() reuse after collection.
+_COMMIT_CACHE: dict = {}
+
+
 def to_device(A: Operator) -> Operator:
     """Commit an operator's array leaves to the default device.
 
@@ -562,8 +568,33 @@ def to_device(A: Operator) -> Operator:
     once per solve so dispatches reuse committed device buffers instead of
     re-transferring per call.  Idempotent: device leaves (and tracers, when
     called inside a jitted program) pass through unchanged.
+
+    Repeated calls on the SAME host-lazy container return the same
+    committed operator (identity-keyed weak cache): without this, every
+    ``solve(A, b)`` call on a host-lazy container re-uploads the whole
+    matrix through the interconnect — measured round 5 on the remote-TPU
+    tunnel, a ~200 MB re-upload landed INSIDE the first dispatch's
+    execution window and inflated a 1.3 s solve to 7.4 s.  The device
+    buffers live as long as the host container does.
     """
-    return jax.tree.map(jnp.asarray, A)
+    import weakref
+
+    leaves = jax.tree.leaves(A)
+    if all(isinstance(l, jax.Array) for l in leaves):
+        return A  # already committed (or traced)
+    if not all(isinstance(l, np.ndarray) for l in leaves):
+        return jax.tree.map(jnp.asarray, A)
+    key = id(A)
+    hit = _COMMIT_CACHE.get(key)
+    if hit is not None and hit[0]() is A:
+        return hit[1]
+    committed = jax.tree.map(jnp.asarray, A)
+    try:
+        ref = weakref.ref(A, lambda _, k=key: _COMMIT_CACHE.pop(k, None))
+    except TypeError:  # not weakref-able: no safe eviction, skip caching
+        return committed
+    _COMMIT_CACHE[key] = (ref, committed)
+    return committed
 
 
 def as_operator(A, dtype=None) -> Operator:

@@ -289,3 +289,25 @@ def test_scatter_add_rows_vmap_matches_per_lane(rng):
         )(jnp.asarray(Y), jnp.asarray(E))
     )
     np.testing.assert_allclose(got, expect, rtol=1e-6)
+
+
+def test_to_device_commit_is_cached(rng):
+    """Round-5: repeated to_device on the SAME host-lazy container returns
+    the SAME committed operator (identity-keyed weak cache) — without it,
+    every solve() call re-uploads the matrix through the interconnect
+    (measured: a 1.3 s remote-TPU solve inflated to 7.4 s)."""
+    import gc
+    from krylov_tpu.sparse import formats
+    from krylov_tpu.sparse.fixtures import laplace2d
+
+    A = laplace2d(8, dtype=np.float32)
+    c1 = formats.to_device(A)
+    c2 = formats.to_device(A)
+    assert c1 is c2
+    # committed form passes through unchanged
+    assert formats.to_device(c1) is c1
+    # cache is weak: dropping the host container evicts the entry
+    key = id(A)
+    del A
+    gc.collect()
+    assert key not in formats._COMMIT_CACHE
